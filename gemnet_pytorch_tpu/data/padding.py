@@ -1,0 +1,234 @@
+"""Static-shape padding/bucketing of batched graphs for XLA.
+
+TPU/XLA compiles one program per distinct input shape, so the ragged
+per-batch sizes of the reference (nAtoms/nEdges/nTriplets/nQuadruplets vary
+every batch — reference data_container.py:156-408) must become static. This
+module pads every canonical graph (graph.GraphArrays) to a fixed `PadDims`
+and emits boolean masks.
+
+Padding convention (load-bearing, used throughout the model):
+
+- All index arrays stay **in-bounds** (padded entries point at row 0 of their
+  target space). Correctness comes from masks, not from out-of-bounds
+  dropping: every scatter in the model is a segment-**sum** whose source rows
+  are pre-multiplied by the source mask, so padded rows contribute exact
+  zeros; every mean divides by mask counts.
+- The canonical edge layout [lower-half c<a ; upper-half reversed]
+  (reference data_container.py:287-308) is preserved *within the padded
+  buffer*: real edges occupy slots [0, nE/2) and [P/2, P/2+nE/2) of a padded
+  edge buffer of (even) size P, so `id_swap = (j + P/2) % P` and
+  `id_undir = j % (P/2)` stay uniform closed forms for real and padded slots
+  alike. Edge ids appearing in triplet/quadruplet arrays are remapped
+  accordingly.
+- Padded edge distances are where-guarded in the model (ops/geometry.py) so
+  sqrt/divide gradients stay finite on the jax.grad force path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional
+
+import numpy as np
+
+from .graph import GraphArrays, INT
+
+
+def round_up(x: int, m: int) -> int:
+    return ((max(x, 1) + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class PadDims:
+    """Static sizes of a padded batch."""
+
+    n_mol: int
+    n_atoms: int
+    n_edges: int  # must be even
+    n_triplets: int
+    kmax3: int
+    # quadruplet spaces (0 when triplets_only)
+    n_int_edges: int = 0
+    n_intm: int = 0
+    n_quads: int = 0
+    kmax4: int = 0
+
+    def __post_init__(self):
+        assert self.n_edges % 2 == 0, "padded edge count must be even"
+
+    def fits(self, g: GraphArrays, n_mol: int, n_atoms: int) -> bool:
+        return (
+            n_mol <= self.n_mol
+            and n_atoms <= self.n_atoms
+            and g.n_edges <= self.n_edges
+            and g.n_triplets <= self.n_triplets
+            and g.kmax3 <= self.kmax3
+            and g.n_int_edges <= self.n_int_edges
+            and g.n_intm <= self.n_intm
+            and g.n_quads <= self.n_quads
+            and g.kmax4 <= self.kmax4
+        )
+
+    def grow_to(self, g: GraphArrays, n_mol: int, n_atoms: int) -> "PadDims":
+        """Smallest PadDims (with mild rounding) covering both self and g."""
+        return PadDims(
+            n_mol=max(self.n_mol, n_mol),
+            n_atoms=max(self.n_atoms, round_up(n_atoms, 16)),
+            n_edges=max(self.n_edges, 2 * round_up(g.n_edges // 2 + g.n_edges % 2, 64)),
+            n_triplets=max(self.n_triplets, round_up(g.n_triplets, 256)),
+            kmax3=max(self.kmax3, round_up(g.kmax3, 4)),
+            n_int_edges=max(self.n_int_edges, round_up(g.n_int_edges, 64))
+            if g.n_int_edges
+            else self.n_int_edges,
+            n_intm=max(self.n_intm, round_up(g.n_intm, 256)) if g.n_intm else self.n_intm,
+            n_quads=max(self.n_quads, round_up(g.n_quads, 512))
+            if g.n_quads
+            else self.n_quads,
+            kmax4=max(self.kmax4, round_up(g.kmax4, 4)) if g.kmax4 else self.kmax4,
+        )
+
+
+def _remap_edge_ids(ids: np.ndarray, n_real_half: int, pad_half: int) -> np.ndarray:
+    """Map canonical edge ids into the padded edge buffer (halves preserved)."""
+    ids = ids.astype(np.int64)
+    return np.where(ids < n_real_half, ids, ids - n_real_half + pad_half).astype(INT)
+
+
+def _pad1(a: np.ndarray, n: int, fill=0) -> np.ndarray:
+    out = np.full((n,) + a.shape[1:], fill, dtype=a.dtype)
+    out[: len(a)] = a
+    return out
+
+
+def pad_batch(
+    g: GraphArrays,
+    Z: np.ndarray,
+    R: np.ndarray,
+    dims: PadDims,
+    E: Optional[np.ndarray] = None,
+    F: Optional[np.ndarray] = None,
+    triplets_only: bool = False,
+) -> dict[str, np.ndarray]:
+    """Pad one canonical batch to static shapes.
+
+    Returns a dict of numpy arrays (model inputs + optional targets + masks).
+    """
+    n_mol = int(g.batch_seg.max()) + 1 if len(g.batch_seg) else 0
+    n_atoms = len(Z)
+    assert dims.fits(g, n_mol, n_atoms), (
+        f"batch exceeds pad dims: {g.n_edges} edges/{g.n_triplets} trip/"
+        f"{g.n_quads} quad vs {dims}"
+    )
+
+    P = dims.n_edges
+    half = P // 2
+    nE = g.n_edges
+    nE2 = nE // 2
+
+    out: dict[str, np.ndarray] = {}
+    out["Z"] = _pad1(Z.astype(INT), dims.n_atoms, fill=1)  # padded atoms: H (masked)
+    out["R"] = _pad1(R.astype(np.float32), dims.n_atoms)
+    out["batch_seg"] = _pad1(g.batch_seg, dims.n_atoms)
+    out["atom_mask"] = (np.arange(dims.n_atoms) < n_atoms).astype(np.bool_)
+    out["mol_mask"] = (np.arange(dims.n_mol) < n_mol).astype(np.bool_)
+    out["n_mol"] = np.array(n_mol, dtype=INT)
+
+    # edges: real slots [0,nE2) and [half, half+nE2)
+    def place_edges(a: np.ndarray, fill=0) -> np.ndarray:
+        outb = np.full((P,) + a.shape[1:], fill, dtype=a.dtype)
+        outb[:nE2] = a[:nE2]
+        outb[half : half + nE2] = a[nE2:]
+        return outb
+
+    out["id_c"] = place_edges(g.id_c)
+    out["id_a"] = place_edges(g.id_a)
+    j = np.arange(P, dtype=INT)
+    out["id_undir"] = j % half
+    out["id_swap"] = (j + half) % P
+    out["edge_mask"] = (j % half) < nE2
+
+    # triplets
+    remap = lambda ids: _remap_edge_ids(ids, nE2, half)  # noqa: E731
+    out["id3_reduce_ca"] = _pad1(remap(g.id3_reduce_ca), dims.n_triplets)
+    out["id3_expand_ba"] = _pad1(remap(g.id3_expand_ba), dims.n_triplets)
+    out["Kidx3"] = _pad1(g.Kidx3, dims.n_triplets)
+    out["trip_mask"] = (np.arange(dims.n_triplets) < g.n_triplets).astype(np.bool_)
+
+    if E is not None:
+        out["E"] = _pad1(E.reshape(n_mol, -1).astype(np.float32), dims.n_mol)
+    if F is not None:
+        out["F"] = _pad1(F.astype(np.float32), dims.n_atoms)
+
+    if triplets_only:
+        return out
+
+    # interaction edges
+    out["id4_int_a"] = _pad1(g.id4_int_a, dims.n_int_edges)
+    out["id4_int_b"] = _pad1(g.id4_int_b, dims.n_int_edges)
+    out["int_edge_mask"] = (np.arange(dims.n_int_edges) < g.n_int_edges).astype(
+        np.bool_
+    )
+    # intermediate triplets (two interleaved spaces share the padded length)
+    out["id4_reduce_intm_ca"] = _pad1(remap(g.id4_reduce_intm_ca), dims.n_intm)
+    out["id4_expand_intm_db"] = _pad1(remap(g.id4_expand_intm_db), dims.n_intm)
+    out["id4_reduce_intm_ab"] = _pad1(g.id4_reduce_intm_ab, dims.n_intm)
+    out["id4_expand_intm_ab"] = _pad1(g.id4_expand_intm_ab, dims.n_intm)
+    out["intm_ca_mask"] = (np.arange(dims.n_intm) < len(g.id4_reduce_intm_ca)).astype(
+        np.bool_
+    )
+    out["intm_db_mask"] = (np.arange(dims.n_intm) < len(g.id4_expand_intm_db)).astype(
+        np.bool_
+    )
+    # quadruplets
+    out["id4_reduce_ca"] = _pad1(remap(g.id4_reduce_ca), dims.n_quads)
+    out["id4_expand_db"] = _pad1(remap(g.id4_expand_db), dims.n_quads)
+    out["id4_reduce_cab"] = _pad1(g.id4_reduce_cab, dims.n_quads)
+    out["id4_expand_abd"] = _pad1(g.id4_expand_abd, dims.n_quads)
+    out["Kidx4"] = _pad1(g.Kidx4, dims.n_quads)
+    out["quad_mask"] = (np.arange(dims.n_quads) < g.n_quads).astype(np.bool_)
+    return out
+
+
+def estimate_pad_dims(
+    graphs: list[GraphArrays],
+    n_mol: int,
+    n_atoms_list: list[int],
+    triplets_only: bool = False,
+    headroom: float = 1.1,
+) -> PadDims:
+    """Derive PadDims covering a sample of batches with headroom."""
+    dims = PadDims(
+        n_mol=n_mol,
+        n_atoms=16,
+        n_edges=128,
+        n_triplets=256,
+        kmax3=4,
+        n_int_edges=0 if triplets_only else 64,
+        n_intm=0 if triplets_only else 256,
+        n_quads=0 if triplets_only else 512,
+        kmax4=0 if triplets_only else 4,
+    )
+    for g, na in zip(graphs, n_atoms_list):
+        scaled = replace(
+            dims,
+            n_atoms=max(dims.n_atoms, round_up(int(na * headroom), 16)),
+        )
+        dims = scaled.grow_to(_scale_graph_dims(g, headroom), n_mol, int(na * headroom))
+    return dims
+
+
+class _DimView:
+    """Lightweight stand-in exposing scaled counts for grow_to."""
+
+    def __init__(self, g: GraphArrays, s: float):
+        self.n_edges = int(np.ceil(g.n_edges * s / 2) * 2)
+        self.n_triplets = int(g.n_triplets * s)
+        self.n_quads = int(g.n_quads * s)
+        self.n_int_edges = int(g.n_int_edges * s)
+        self.n_intm = int(g.n_intm * s)
+        self.kmax3 = int(np.ceil(g.kmax3 * s))
+        self.kmax4 = int(np.ceil(g.kmax4 * s))
+
+
+def _scale_graph_dims(g: GraphArrays, s: float) -> "_DimView":
+    return _DimView(g, s)
