@@ -153,6 +153,8 @@ def pad_batch(
     out["id3_expand_ba"] = _pad1(remap(g.id3_expand_ba), dims.n_triplets)
     out["Kidx3"] = _pad1(g.Kidx3, dims.n_triplets)
     out["trip_mask"] = (np.arange(dims.n_triplets) < g.n_triplets).astype(np.bool_)
+    # kmax is consumed as a static shape at trace time (shape-carrier array)
+    out["kmax3_static"] = np.zeros(dims.kmax3, np.bool_)
 
     if E is not None:
         out["E"] = _pad1(E.reshape(n_mol, -1).astype(np.float32), dims.n_mol)
@@ -186,6 +188,7 @@ def pad_batch(
     out["id4_expand_abd"] = _pad1(g.id4_expand_abd, dims.n_quads)
     out["Kidx4"] = _pad1(g.Kidx4, dims.n_quads)
     out["quad_mask"] = (np.arange(dims.n_quads) < g.n_quads).astype(np.bool_)
+    out["kmax4_static"] = np.zeros(dims.kmax4, np.bool_)
     return out
 
 

@@ -1,0 +1,266 @@
+"""Radial / circular / spherical Fourier-Bessel basis functions.
+
+TPU-native reformulation of the reference basis layers
+(gemnet/model/layers/basis_layers.py, envelope.py, basis_utils.py): where the
+reference lambdifies sympy expressions into per-(l,n) python functions called
+in a list comprehension each forward, here the closed forms are reduced once
+at construction to dense coefficient arrays, and each forward is a handful of
+vectorized jnp ops (Horner evaluations + sin/cos) that XLA fuses:
+
+- spherical Bessel j_l(x) = sin(x)·P_l(1/x) + cos(x)·Q_l(1/x), with P/Q
+  integer-coefficient polynomials from the recurrence
+  j_{l+1} = (2l+1)/x · j_l − j_{l−1} (exact, no sympy needed);
+- Bessel-function zeros and normalizers via scipy (construction time only;
+  reference basis_utils.py:14-29,47-80);
+- associated Legendre / real spherical harmonics via the standard recurrences
+  the reference encodes symbolically (basis_utils.py:107-253), evaluated in
+  the reference's (l, m) flattening order: per degree l, m = 0, +1..+l,
+  −l..−1.
+
+All envelopes/scalings match the reference: polynomial smooth cutoff
+(envelope.py:14-29), sqrt(2/c) radial norm (basis_layers.py:33), c^-1.5
+spherical norm (basis_layers.py:88,205).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+from scipy import special as sp_special
+from scipy.optimize import brentq
+
+
+# --------------------------------------------------------------------------
+# construction-time coefficient generation (numpy / float64 only)
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def spherical_bessel_sincos_coeffs(n: int) -> tuple[tuple, tuple]:
+    """Integer coefficients (a, b) with j_l(x) = sin(x)·Σ_k a[l][k] x^-(k+1)
+    + cos(x)·Σ_k b[l][k] x^-(k+1), for l = 0..n-1."""
+    a = [[1]]  # j_0 = sin(x)/x
+    b = [[0]]
+    if n > 1:
+        a.append([0, 1])  # j_1 = sin/x^2 - cos/x
+        b.append([-1, 0])
+    for l in range(2, n):
+        # j_l = (2l-1)/x j_{l-1} - j_{l-2}
+        fa, fb = [0] + a[l - 1], [0] + b[l - 1]  # multiply by 1/x
+        fa = [(2 * l - 1) * c for c in fa]
+        fb = [(2 * l - 1) * c for c in fb]
+        ga, gb = a[l - 2] + [0] * (len(fa) - len(a[l - 2])), b[l - 2] + [0] * (
+            len(fb) - len(b[l - 2])
+        )
+        a.append([x - y for x, y in zip(fa, ga)])
+        b.append([x - y for x, y in zip(fb, gb)])
+    return tuple(tuple(r) for r in a), tuple(tuple(r) for r in b)
+
+
+@lru_cache(maxsize=None)
+def bessel_zeros(n: int, k: int) -> np.ndarray:
+    """First k zeros of j_l for l = 0..n-1 (reference basis_utils.py:14-29)."""
+    zeros = np.zeros((n, k))
+    zeros[0] = np.arange(1, k + 1) * np.pi
+    points = np.arange(1, k + n) * np.pi
+    roots = np.zeros(k + n - 1)
+    for l in range(1, n):
+        for j in range(k + n - 1 - l):
+            roots[j] = brentq(lambda r: sp_special.spherical_jn(l, r), points[j], points[j + 1])
+        points = roots.copy()
+        zeros[l][:k] = roots[:k]
+    return zeros
+
+
+@lru_cache(maxsize=None)
+def bessel_normalizers(n: int, k: int) -> np.ndarray:
+    """Normalizers 1/sqrt(0.5·j_{l+1}(z_{l,n})²) (reference basis_utils.py:60-69)."""
+    zeros = bessel_zeros(n, k)
+    norm = np.zeros((n, k))
+    for l in range(n):
+        norm[l] = 1.0 / np.sqrt(0.5 * sp_special.spherical_jn(l + 1, zeros[l]) ** 2)
+    return norm
+
+
+def sph_harm_prefactor(l: int, m: int) -> float:
+    return math.sqrt(
+        (2 * l + 1)
+        / (4 * math.pi)
+        * math.factorial(l - abs(m))
+        / math.factorial(l + abs(m))
+    )
+
+
+# --------------------------------------------------------------------------
+# trace-time evaluation (jnp)
+# --------------------------------------------------------------------------
+
+
+def _horner_inv(coeffs: np.ndarray, inv_x: jnp.ndarray) -> jnp.ndarray:
+    """Σ_k coeffs[k]·inv_x^(k+1), Horner-evaluated."""
+    acc = jnp.zeros_like(inv_x)
+    for c in coeffs[::-1]:
+        acc = acc * inv_x + float(c)
+    return acc * inv_x
+
+
+class Envelope:
+    """Polynomial smooth cutoff 1 + a·d^p + b·d^(p+1) + c·d^(p+2), zero beyond
+    d=1 (reference envelope.py:14-29)."""
+
+    def __init__(self, p: int):
+        assert p > 0
+        self.p = p
+        self.a = -(p + 1) * (p + 2) / 2
+        self.b = p * (p + 2)
+        self.c = -p * (p + 1) / 2
+
+    def __call__(self, d_scaled: jnp.ndarray) -> jnp.ndarray:
+        # same operation order as the reference (separate powers) so fp32
+        # rounding matches near the cutoff where env -> 0
+        env = (
+            1.0
+            + self.a * d_scaled**self.p
+            + self.b * d_scaled ** (self.p + 1)
+            + self.c * d_scaled ** (self.p + 2)
+        )
+        return jnp.where(d_scaled < 1, env, jnp.zeros_like(d_scaled))
+
+
+class RadialBasis:
+    """1D Bessel basis with trainable frequencies (reference
+    basis_layers.py:10-49). The frequency vector is owned by the model (it is
+    a trainable parameter); this class provides init values + evaluation."""
+
+    def __init__(self, num_radial: int, cutoff: float, envelope_exponent: int = 5):
+        self.num_radial = num_radial
+        self.inv_cutoff = 1.0 / cutoff
+        self.norm_const = math.sqrt(2.0 * self.inv_cutoff)
+        self.envelope = Envelope(envelope_exponent)
+
+    def init_frequencies(self) -> np.ndarray:
+        return np.pi * np.arange(1, self.num_radial + 1, dtype=np.float32)
+
+    def __call__(self, frequencies: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+        """d: (nEdges,) guarded distances -> (nEdges, num_radial)."""
+        d = d[:, None]
+        d_scaled = d * self.inv_cutoff
+        env = self.envelope(d_scaled)
+        return env * self.norm_const * jnp.sin(frequencies[None, :] * d_scaled) / d
+
+
+class _BesselEnvBase:
+    """Shared radial part of the 2D/3D bases: j̃_{ln}(d/c)·envelope·c^-1.5."""
+
+    def __init__(self, num_spherical: int, num_radial: int, cutoff: float, envelope_exponent: int):
+        assert num_radial <= 64
+        self.num_spherical = num_spherical
+        self.num_radial = num_radial
+        self.inv_cutoff = 1.0 / cutoff
+        self.norm_const = self.inv_cutoff**1.5
+        self.envelope = Envelope(envelope_exponent)
+        self._sin_c, self._cos_c = spherical_bessel_sincos_coeffs(num_spherical)
+        self._zeros = bessel_zeros(num_spherical, num_radial).astype(np.float64)
+        self._norms = bessel_normalizers(num_spherical, num_radial).astype(np.float64)
+
+    def rbf_env(self, d: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """Enveloped radial part, (nEdges, num_spherical, num_radial).
+        `mask` zeroes padded rows (their guarded d would otherwise produce a
+        nonzero envelope value)."""
+        d_scaled = d * self.inv_cutoff  # (E,)
+        u = self.envelope(d_scaled) * jnp.asarray(mask, d.dtype)  # (E,)
+        outs = []
+        for l in range(self.num_spherical):
+            arg = d_scaled[:, None] * jnp.asarray(
+                self._zeros[l][None, :], d.dtype
+            )  # (E, R)
+            inv = 1.0 / arg
+            val = jnp.sin(arg) * _horner_inv(np.array(self._sin_c[l], np.float64), inv)
+            if any(self._cos_c[l]):
+                val = val + jnp.cos(arg) * _horner_inv(
+                    np.array(self._cos_c[l], np.float64), inv
+                )
+            outs.append(val * jnp.asarray(self._norms[l][None, :], d.dtype))
+        rbf = jnp.stack(outs, axis=1)  # (E, S, R)
+        return rbf * self.norm_const * u[:, None, None]
+
+
+class CircularBasis(_BesselEnvBase):
+    """2D Fourier-Bessel basis: j̃_{ln}(d)·Y_l0(angle) (reference
+    basis_layers.py:52-162). Combination with indices (dense vs efficient
+    modes) happens in the model."""
+
+    def __init__(self, num_spherical, num_radial, cutoff, envelope_exponent=5):
+        super().__init__(num_spherical, num_radial, cutoff, envelope_exponent)
+        # Legendre polynomial coefficients P_l(z), z = cos(angle)
+        coeffs = [np.array([1.0]), np.array([0.0, 1.0])]
+        for l in range(2, num_spherical):
+            c = np.zeros(l + 1)
+            c[1:] += (2 * l - 1) * coeffs[l - 1] / l
+            c[: l - 1] -= (l - 1) * coeffs[l - 2][: l - 1] / l
+            coeffs.append(c)
+        self._leg = [
+            c * sph_harm_prefactor(l, 0) for l, c in enumerate(coeffs[:num_spherical])
+        ]
+
+    def cbf(self, angle: jnp.ndarray) -> jnp.ndarray:
+        """Y_l0(angle): (N,) -> (N, num_spherical)."""
+        z = jnp.cos(angle)
+        outs = []
+        for c in self._leg:
+            acc = jnp.full_like(z, float(c[-1]))
+            for coef in c[-2::-1]:
+                acc = acc * z + float(coef)
+            outs.append(acc)
+        return jnp.stack(outs, axis=1)
+
+
+class SphericalBasis(_BesselEnvBase):
+    """3D Fourier-Bessel basis: j̃_{ln}(d)·Y_lm(α, θ) over all (l, m)
+    (reference basis_layers.py:165-295). `rbf_env3` repeats the radial part
+    over the 2l+1 orders per degree; `sbf` evaluates the real spherical
+    harmonics in the reference's order [m=0, +1..+l, −l..−1] per degree."""
+
+    def __init__(self, num_spherical, num_radial, cutoff, envelope_exponent=5):
+        super().__init__(num_spherical, num_radial, cutoff, envelope_exponent)
+        self.degree_in_order = np.arange(num_spherical) * 2 + 1
+
+    def rbf_env3(self, d: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """(nEdges, num_spherical**2, num_radial)."""
+        rbf = self.rbf_env(d, mask)  # (E, S, R)
+        return jnp.repeat(rbf, self.degree_in_order, axis=1, total_repeat_length=self.num_spherical**2)
+
+    def sbf(self, alpha: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+        """Real spherical harmonics Y_lm(alpha, theta): (N,) -> (N, S**2).
+
+        alpha is the polar angle (reference's `theta` symbol), theta the
+        azimuthal/dihedral angle (reference's `phi`).
+        """
+        S = self.num_spherical
+        z = jnp.cos(alpha)
+        s = jnp.sin(alpha)  # = sqrt(1-z^2) for alpha in [0, pi]
+        # associated Legendre P_lm(z) via recurrences (positive m only)
+        P: dict[tuple[int, int], jnp.ndarray] = {(0, 0): jnp.ones_like(z)}
+        for m in range(1, S):
+            P[(m, m)] = (1 - 2 * m) * s * P[(m - 1, m - 1)]
+        for m in range(0, S - 1):
+            P[(m + 1, m)] = (2 * m + 1) * z * P[(m, m)]
+        for l in range(2, S):
+            for m in range(l - 1):
+                P[(l, m)] = ((2 * l - 1) * z * P[(l - 1, m)] - (l + m - 1) * P[(l - 2, m)]) / (l - m)
+        outs = []
+        sqrt2 = math.sqrt(2.0)
+        for l in range(S):
+            outs.append(sph_harm_prefactor(l, 0) * P[(l, 0)])
+            for m in range(1, l + 1):
+                outs.append(
+                    sqrt2 * (-1) ** m * sph_harm_prefactor(l, m) * P[(l, m)] * jnp.cos(m * theta)
+                )
+            for m in range(l, 0, -1):
+                outs.append(
+                    sqrt2 * (-1) ** m * sph_harm_prefactor(l, m) * P[(l, m)] * jnp.sin(m * theta)
+                )
+        return jnp.stack(outs, axis=1)

@@ -1,0 +1,294 @@
+"""GemNet: universal directional graph neural network (flax).
+
+Top-level model covering all four reference variants (gemnet/model/gemnet.py:21-615):
+
+| variant   | triplets_only | direct_forces |
+|-----------|---------------|---------------|
+| GemNet-Q  | False         | False         |
+| GemNet-dQ | False         | True          |
+| GemNet-T  | True          | False         |
+| GemNet-dT | True          | True          |
+
+The forward consumes one padded static-shape batch (data/padding.py) and
+returns per-molecule energies and per-atom forces. Autograd forces
+(-dE/dR, reference gemnet.py:598-613) are implemented with jax.grad in
+`energy_and_forces`, keeping the whole computation jittable (double
+backward during training is handled by JAX natively).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import geometry
+from ..ops.segment import masked_segment_mean, masked_segment_sum
+from .basis import CircularBasis, RadialBasis, SphericalBasis
+from .interaction import InteractionBlock
+from .layers import (
+    AtomEmbedding,
+    Dense,
+    EdgeEmbedding,
+    EfficientInteractionDownProjection,
+    OutputBlock,
+)
+from .scaling import scale_names_in_creation_order  # noqa: F401  (re-export)
+
+
+class GemNet(nn.Module):
+    """GemNet-(d)T/(d)Q on padded batches. Construct via `GemNet(config=...)`."""
+
+    config: ModelConfig
+
+    def setup(self):
+        cfg = self.config
+        self.rbf_basis = RadialBasis(
+            cfg.num_radial, cutoff=cfg.cutoff, envelope_exponent=cfg.envelope_exponent
+        )
+        self.cbf_basis3 = CircularBasis(
+            cfg.num_spherical, cfg.num_radial, cutoff=cfg.cutoff,
+            envelope_exponent=cfg.envelope_exponent,
+        )
+        if not cfg.triplets_only:
+            # 2D basis over interaction edges (dense mode, int_cutoff!)
+            self.cbf_basis = CircularBasis(
+                cfg.num_spherical, cfg.num_radial, cutoff=cfg.int_cutoff,
+                envelope_exponent=cfg.envelope_exponent,
+            )
+            self.sbf_basis = SphericalBasis(
+                cfg.num_spherical, cfg.num_radial, cutoff=cfg.cutoff,
+                envelope_exponent=cfg.envelope_exponent,
+            )
+
+    @nn.compact
+    def __call__(self, batch: dict[str, jnp.ndarray], R: Optional[jnp.ndarray] = None):
+        """Returns (E, F_edge_or_atom):
+
+        - E: (n_mol_pad, num_targets) per-molecule energies
+        - direct_forces: F (n_atoms_pad, num_targets, 3) per-atom forces
+        - else: F_ca (n_edges_pad, num_targets) per-edge scalar heads, plus
+          the caller (energy_and_forces) derives -dE/dR.
+
+        `R` overrides batch["R"] so jax.grad can differentiate w.r.t. it.
+        """
+        cfg = self.config
+        if R is None:
+            R = batch["R"]
+        Z = batch["Z"]
+        id_c, id_a = batch["id_c"], batch["id_a"]
+        edge_mask, atom_mask = batch["edge_mask"], batch["atom_mask"]
+        masks = {
+            "edge": edge_mask,
+            "atom": atom_mask,
+            "trip": batch["trip_mask"],
+        }
+        n_atoms = Z.shape[0]
+
+        frequencies = self.param(
+            "frequencies",
+            lambda key: jnp.asarray(self.rbf_basis.init_frequencies()),
+        )
+
+        # ---- geometry ----
+        D_ca, V_ca = geometry.interatomic_vectors(R, id_c, id_a, edge_mask)
+        angles3 = geometry.triplet_angles(
+            R, id_c, id_a, batch["id3_reduce_ca"], batch["id3_expand_ba"]
+        )
+
+        # ---- basis: triplets (efficient layout) ----
+        rbf = self.rbf_basis(frequencies, D_ca) * edge_mask[:, None].astype(R.dtype)
+        cbf3_env = self.cbf_basis3.rbf_env(D_ca, edge_mask)  # (E, S, R)
+        sph3 = self.cbf_basis3.cbf(angles3)  # (T, S)
+        from ..ops.segment import scatter_to_padded_dense
+
+        kmax3 = batch["kmax3_static"].shape[0]
+        sph3_dense = scatter_to_padded_dense(
+            sph3, batch["id3_reduce_ca"], batch["Kidx3"],
+            num_segments=id_c.shape[0], kmax=kmax3, mask=masks["trip"],
+        )  # (E, Kmax3, S)
+
+        basis: dict[str, Any] = {}
+        if not cfg.triplets_only:
+            masks.update(
+                quad=batch["quad_mask"],
+                intm_db=batch["intm_db_mask"],
+                int_edge=batch["int_edge_mask"],
+            )
+            id4_int_a, id4_int_b = batch["id4_int_a"], batch["id4_int_b"]
+            D_ab, _ = geometry.interatomic_vectors(
+                R, id4_int_b, id4_int_a, masks["int_edge"]
+            )
+            phi_cab, phi_abd, theta_cabd = geometry.quadruplet_angles(
+                R, id_c, id_a, id4_int_b, id4_int_a,
+                batch["id4_expand_abd"], batch["id4_reduce_cab"],
+                batch["id4_expand_intm_db"], batch["id4_reduce_intm_ca"],
+                batch["id4_expand_intm_ab"], batch["id4_reduce_intm_ab"],
+            )
+            # dense circular basis on the intermediate d->b space
+            # (reference gemnet.py:517, basis_layers.py:133-147)
+            cbf4_env = self.cbf_basis.rbf_env(D_ab, masks["int_edge"])  # (IE, S, R)
+            cbf4_env_g = cbf4_env[batch["id4_expand_intm_ab"]]  # (intm, S, R)
+            sph4 = self.cbf_basis.cbf(phi_abd)  # (intm, S)
+            cbf4_dense = (cbf4_env_g * sph4[:, :, None]).reshape(
+                cbf4_env_g.shape[0], -1
+            )  # (intm, S*R)
+            # efficient spherical basis over quadruplets
+            sbf_env = self.sbf_basis.rbf_env3(D_ca, edge_mask)  # (E, S^2, R)
+            sph_sbf = self.sbf_basis.sbf(phi_cab, theta_cabd)  # (Q, S^2)
+            kmax4 = batch["kmax4_static"].shape[0]
+            sph_sbf_dense = scatter_to_padded_dense(
+                sph_sbf, batch["id4_reduce_ca"], batch["Kidx4"],
+                num_segments=id_c.shape[0], kmax=kmax4, mask=masks["quad"],
+            )  # (E, Kmax4, S^2)
+
+        # ---- shared down-projections (reference gemnet.py:158-205,532-545) ----
+        if not cfg.triplets_only:
+            basis["rbf4"] = Dense(cfg.emb_size_rbf, name="mlp_rbf4")(rbf)
+            basis["cbf4"] = Dense(cfg.emb_size_cbf, name="mlp_cbf4")(cbf4_dense)
+            rbf_W1_sbf = EfficientInteractionDownProjection(
+                cfg.num_spherical**2, cfg.num_radial, cfg.emb_size_sbf, name="mlp_sbf4"
+            )(sbf_env)
+            basis["sbf4"] = (rbf_W1_sbf, sph_sbf_dense)
+        basis["rbf3"] = Dense(cfg.emb_size_rbf, name="mlp_rbf3")(rbf)
+        rbf_W1_cbf3 = EfficientInteractionDownProjection(
+            cfg.num_spherical, cfg.num_radial, cfg.emb_size_cbf, name="mlp_cbf3"
+        )(cbf3_env)
+        basis["cbf3"] = (rbf_W1_cbf3, sph3_dense)
+        basis["rbf_h"] = Dense(cfg.emb_size_rbf, name="mlp_rbf_h")(rbf)
+        rbf_out = Dense(cfg.emb_size_rbf, name="mlp_rbf_out")(rbf)
+
+        # ---- embeddings ----
+        h = AtomEmbedding(cfg.emb_size_atom, name="atom_emb")(Z)
+        m = EdgeEmbedding(cfg.emb_size_edge, activation=cfg.activation,
+                          name="edge_emb")(h, rbf, id_c, id_a)
+
+        indices = {
+            "id_c": id_c,
+            "id_a": id_a,
+            "id_swap": batch["id_swap"],
+            "id3_expand_ba": batch["id3_expand_ba"],
+            "id3_reduce_ca": batch["id3_reduce_ca"],
+            "Kidx3": batch["Kidx3"],
+        }
+        if not cfg.triplets_only:
+            indices.update(
+                id4_reduce_ca=batch["id4_reduce_ca"],
+                id4_expand_intm_db=batch["id4_expand_intm_db"],
+                id4_expand_abd=batch["id4_expand_abd"],
+                Kidx4=batch["Kidx4"],
+            )
+
+        # ---- block stack ----
+        E_a, F_ca = OutputBlock(
+            emb_size_atom=cfg.emb_size_atom,
+            emb_size_edge=cfg.emb_size_edge,
+            n_hidden=cfg.num_atom,
+            num_targets=cfg.num_targets,
+            activation=cfg.activation,
+            direct_forces=cfg.direct_forces,
+            output_init=cfg.output_init,
+            scale_prefix="OutBlock_0",
+            name="out_blocks_0",
+        )(h, m, rbf_out, id_a, edge_mask, atom_mask)
+
+        for i in range(cfg.num_blocks):
+            h, m = InteractionBlock(
+                emb_size_atom=cfg.emb_size_atom,
+                emb_size_edge=cfg.emb_size_edge,
+                emb_size_trip=cfg.emb_size_trip,
+                emb_size_quad=cfg.emb_size_quad,
+                emb_size_bil_trip=cfg.emb_size_bil_trip,
+                emb_size_bil_quad=cfg.emb_size_bil_quad,
+                num_before_skip=cfg.num_before_skip,
+                num_after_skip=cfg.num_after_skip,
+                num_concat=cfg.num_concat,
+                num_atom=cfg.num_atom,
+                triplets_only=cfg.triplets_only,
+                block_nr=i + 1,
+                activation=cfg.activation,
+                name=f"int_blocks_{i}",
+            )(h, m, basis, indices, masks)
+            E, F = OutputBlock(
+                emb_size_atom=cfg.emb_size_atom,
+                emb_size_edge=cfg.emb_size_edge,
+                n_hidden=cfg.num_atom,
+                num_targets=cfg.num_targets,
+                activation=cfg.activation,
+                direct_forces=cfg.direct_forces,
+                output_init=cfg.output_init,
+                scale_prefix=f"OutBlock_{i + 1}",
+                name=f"out_blocks_{i + 1}",
+            )(h, m, rbf_out, id_a, edge_mask, atom_mask)
+            E_a = E_a + E
+            F_ca = F_ca + F
+
+        # ---- per-molecule energy (reference gemnet.py:578-584) ----
+        n_mol = batch["mol_mask"].shape[0]
+        if cfg.extensive:
+            E_mol = masked_segment_sum(E_a, batch["batch_seg"], n_mol, mask=atom_mask)
+        else:
+            E_mol = masked_segment_mean(E_a, batch["batch_seg"], n_mol, mask=atom_mask)
+
+        if cfg.direct_forces:
+            if cfg.forces_coupled:
+                # |F_ca| = |F_ac| via undirected mean (reference gemnet.py:588-592)
+                n_undir = id_c.shape[0] // 2
+                F_und = masked_segment_mean(
+                    F_ca, batch["id_undir"], n_undir, mask=edge_mask
+                )
+                F_ca = F_und[batch["id_undir"]]
+            # map scalar heads onto edge directions, aggregate per atom
+            F_ji = F_ca[:, :, None] * V_ca[:, None, :]  # (E, T, 3)
+            F_atom = masked_segment_sum(F_ji, id_a, n_atoms, mask=edge_mask)
+            return E_mol, F_atom
+        return E_mol, F_ca
+
+
+def make_model(cfg: ModelConfig) -> GemNet:
+    return GemNet(config=cfg)
+
+
+def energy_and_forces(
+    model: GemNet,
+    variables,
+    batch,
+    mutable=(),
+):
+    """Energy + forces with the variant-appropriate force path.
+
+    direct_forces: model returns them directly.
+    otherwise: F = -dE_sum/dR via jax.grad (reference gemnet.py:598-613);
+    per-target loop for num_targets > 1.
+    """
+    cfg = model.config
+
+    def apply(R):
+        out, aux = model.apply(variables, batch, R, mutable=list(mutable))
+        return out, aux
+
+    if cfg.direct_forces:
+        (E, F), aux = apply(batch["R"])
+        return E, F, aux
+
+    def energy_sum(R, target):
+        (E, _), aux = apply(R)
+        return jnp.sum(E[:, target]), (E, aux)
+
+    if cfg.num_targets == 1:
+        grad_fn = jax.grad(lambda R: energy_sum(R, 0), has_aux=True)
+        dE_dR, (E, aux) = grad_fn(batch["R"])
+        F = -dE_dR[:, None, :]  # (nAtoms, 1, 3)
+    else:
+        forces = []
+        E = None
+        aux = None
+        for t in range(cfg.num_targets):
+            grad_fn = jax.grad(lambda R, t=t: energy_sum(R, t), has_aux=True)
+            dE_dR, (E, aux) = grad_fn(batch["R"])
+            forces.append(-dE_dR)
+        F = jnp.stack(forces, axis=1)  # (nAtoms, T, 3)
+    return E, F, aux

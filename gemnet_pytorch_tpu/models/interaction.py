@@ -1,0 +1,193 @@
+"""Interaction blocks: one message-passing round over the index hierarchy.
+
+Counterparts of gemnet/model/layers/interaction_block.py: quadruplet and
+triplet message passing with the efficient bilinear contraction, residual
+stacks around the skip connection, atom update, and the atom->edge concat
+update. Merge scalings (1/sqrt(3) with quadruplets, 1/sqrt(2) without;
+reference interaction_block.py:202-203,390-391) and every skip's 1/sqrt(2)
+match the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import (
+    AtomUpdateBlock,
+    Dense,
+    EdgeEmbedding,
+    EfficientInteractionBilinear,
+    ResidualLayer,
+    ScalingFactor,
+)
+
+_INV_SQRT2 = 2.0**-0.5
+_INV_SQRT3 = 3.0**-0.5
+
+
+class QuadrupletInteraction(nn.Module):
+    """Quadruplet-based message passing (reference interaction_block.py:425-566)."""
+
+    emb_size_edge: int
+    emb_size_quad: int
+    emb_size_bilinear: int
+    activation: Optional[str] = None
+    scale_prefix: str = "QuadInteraction_1"
+
+    @nn.compact
+    def __call__(self, m, rbf, cbf, sbf, kidx4, id_swap, id4_reduce_ca,
+                 id4_expand_intm_db, id4_expand_abd, masks):
+        x_db = Dense(self.emb_size_edge, activation=self.activation, name="dense_db")(m)
+
+        # radial basis hadamard
+        x_db2 = x_db * Dense(self.emb_size_edge, name="mlp_rbf")(rbf)
+        x_db = ScalingFactor(self.scale_prefix + "_had_rbf", name="scale_rbf")(
+            x_db, x_db2, mask_ref=masks["edge"], mask_y=masks["edge"]
+        )
+        x_db = Dense(self.emb_size_quad, activation=self.activation,
+                     name="down_projection")(x_db)
+
+        # circular basis hadamard on the intermediate d->b space
+        x_db = x_db[id4_expand_intm_db]
+        x_db2 = x_db * Dense(self.emb_size_quad, name="mlp_cbf")(cbf)
+        x_db = ScalingFactor(self.scale_prefix + "_had_cbf", name="scale_cbf")(
+            x_db, x_db2, mask_ref=masks["intm_db"], mask_y=masks["intm_db"]
+        )
+
+        # spherical basis bilinear over quadruplets -> edges
+        x_db = x_db[id4_expand_abd]
+        rbf_W1, sph = sbf
+        x = EfficientInteractionBilinear(
+            self.emb_size_quad, rbf_W1.shape[1], self.emb_size_bilinear, name="mlp_sbf"
+        )(rbf_W1, sph, x_db, id4_reduce_ca, kidx4, mask=masks["quad"])
+        x = ScalingFactor(self.scale_prefix + "_sum_sbf", name="scale_sbf_sum")(
+            x_db, x, mask_ref=masks["quad"], mask_y=masks["edge"]
+        )
+
+        x_ca = Dense(self.emb_size_edge, activation=self.activation,
+                     name="up_projection_ca")(x)
+        x_ac = Dense(self.emb_size_edge, activation=self.activation,
+                     name="up_projection_ac")(x)
+        x_ac = x_ac[id_swap]
+        return (x_ca + x_ac) * _INV_SQRT2
+
+
+class TripletInteraction(nn.Module):
+    """Triplet-based message passing (reference interaction_block.py:569-696)."""
+
+    emb_size_edge: int
+    emb_size_trip: int
+    emb_size_bilinear: int
+    activation: Optional[str] = None
+    scale_prefix: str = "TripInteraction_1"
+
+    @nn.compact
+    def __call__(self, m, rbf3, cbf3, kidx3, id_swap, id3_expand_ba,
+                 id3_reduce_ca, masks):
+        x_ba = Dense(self.emb_size_edge, activation=self.activation, name="dense_ba")(m)
+
+        x_ba2 = x_ba * Dense(self.emb_size_edge, name="mlp_rbf")(rbf3)
+        x_ba = ScalingFactor(self.scale_prefix + "_had_rbf", name="scale_rbf")(
+            x_ba, x_ba2, mask_ref=masks["edge"], mask_y=masks["edge"]
+        )
+        x_ba = Dense(self.emb_size_trip, activation=self.activation,
+                     name="down_projection")(x_ba)
+
+        x_ba = x_ba[id3_expand_ba]
+        rbf_W1, sph = cbf3
+        x = EfficientInteractionBilinear(
+            self.emb_size_trip, rbf_W1.shape[1], self.emb_size_bilinear, name="mlp_cbf"
+        )(rbf_W1, sph, x_ba, id3_reduce_ca, kidx3, mask=masks["trip"])
+        x = ScalingFactor(self.scale_prefix + "_sum_cbf", name="scale_cbf_sum")(
+            x_ba, x, mask_ref=masks["trip"], mask_y=masks["edge"]
+        )
+
+        x_ca = Dense(self.emb_size_edge, activation=self.activation,
+                     name="up_projection_ca")(x)
+        x_ac = Dense(self.emb_size_edge, activation=self.activation,
+                     name="up_projection_ac")(x)
+        x_ac = x_ac[id_swap]
+        return (x_ca + x_ac) * _INV_SQRT2
+
+
+class InteractionBlock(nn.Module):
+    """Full interaction block; quadruplet path optional (covers both
+    InteractionBlock and InteractionBlockTripletsOnly of the reference,
+    interaction_block.py:11-234,237-422)."""
+
+    emb_size_atom: int
+    emb_size_edge: int
+    emb_size_trip: int
+    emb_size_quad: int
+    emb_size_bil_trip: int
+    emb_size_bil_quad: int
+    num_before_skip: int
+    num_after_skip: int
+    num_concat: int
+    num_atom: int
+    triplets_only: bool
+    block_nr: int = 1
+    activation: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, h, m, basis, indices, masks):
+        x_ca_skip = Dense(self.emb_size_edge, activation=self.activation,
+                          name="dense_ca")(m)
+
+        x3 = TripletInteraction(
+            emb_size_edge=self.emb_size_edge,
+            emb_size_trip=self.emb_size_trip,
+            emb_size_bilinear=self.emb_size_bil_trip,
+            activation=self.activation,
+            scale_prefix=f"TripInteraction_{self.block_nr}",
+            name="trip_interaction",
+        )(
+            m, basis["rbf3"], basis["cbf3"], indices["Kidx3"], indices["id_swap"],
+            indices["id3_expand_ba"], indices["id3_reduce_ca"], masks,
+        )
+
+        if not self.triplets_only:
+            x4 = QuadrupletInteraction(
+                emb_size_edge=self.emb_size_edge,
+                emb_size_quad=self.emb_size_quad,
+                emb_size_bilinear=self.emb_size_bil_quad,
+                activation=self.activation,
+                scale_prefix=f"QuadInteraction_{self.block_nr}",
+                name="quad_interaction",
+            )(
+                m, basis["rbf4"], basis["cbf4"], basis["sbf4"], indices["Kidx4"],
+                indices["id_swap"], indices["id4_reduce_ca"],
+                indices["id4_expand_intm_db"], indices["id4_expand_abd"], masks,
+            )
+            x = (x_ca_skip + x3 + x4) * _INV_SQRT3
+        else:
+            x = (x_ca_skip + x3) * _INV_SQRT2
+
+        for i in range(self.num_before_skip):
+            x = ResidualLayer(self.emb_size_edge, activation=self.activation,
+                              name=f"res_bef_skip_{i}")(x)
+        m = (m + x) * _INV_SQRT2
+        for i in range(self.num_after_skip):
+            m = ResidualLayer(self.emb_size_edge, activation=self.activation,
+                              name=f"res_aft_skip_{i}")(m)
+
+        h2 = AtomUpdateBlock(
+            emb_size_atom=self.emb_size_atom,
+            emb_size_edge=self.emb_size_edge,
+            n_hidden=self.num_atom,
+            activation=self.activation,
+            scale_name=f"AtomUpdate_{self.block_nr}_sum",
+            name="atom_update",
+        )(h, m, basis["rbf_h"], indices["id_a"], masks["edge"], masks["atom"])
+        h = (h + h2) * _INV_SQRT2
+
+        m2 = EdgeEmbedding(self.emb_size_edge, activation=self.activation,
+                           name="concat_layer")(h, m, indices["id_c"], indices["id_a"])
+        for i in range(self.num_concat):
+            m2 = ResidualLayer(self.emb_size_edge, activation=self.activation,
+                               name=f"res_m_{i}")(m2)
+        m = (m + m2) * _INV_SQRT2
+        return h, m

@@ -1,0 +1,98 @@
+"""Data-parallel training over a device mesh (shard_map + psum over ICI).
+
+Each device owns one padded subgraph (a shard of molecules); parameters,
+optimizer state, and EMA shadows are replicated. The per-device loss is
+computed in global num/den form (trainer.masked_* with axis_name), so the
+psum'd gradients are the exact gradients of the global masked mean — bitwise
+consistent with single-device training on the concatenated batch up to fp
+reduction order.
+
+The reference has no counterpart (single GPU only); this is the first rung of
+the BASELINE.md scaling ladder (1 chip -> 1 host -> N hosts).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..training.trainer import Trainer, TrainState
+
+AXIS = "dp"
+
+
+def stack_shards(batches: list[dict]) -> dict:
+    """Stack per-device batches into leading-device-axis arrays."""
+    keys = batches[0].keys()
+    return {k: np.stack([b[k] for b in batches]) for k in keys}
+
+
+def make_dp_train_step(trainer: Trainer, mesh: Mesh):
+    """jitted (state, stacked_batch, lr_scale) -> (state, metrics, counts).
+
+    stacked_batch arrays have shape (n_dev, ...) and are sharded over dp;
+    state is replicated.
+    """
+    assert trainer.optimizer is not None, "call trainer.init_state first"
+    optimizer = trainer.optimizer
+    ema_decay = trainer.cfg.ema_decay
+
+    def device_step(state: TrainState, batch: dict, lr_scale):
+        # shard_map passes the per-device slice with the leading axis kept
+        batch = {k: v[0] for k, v in batch.items()}
+        grad_fn = jax.value_and_grad(
+            lambda p: trainer._loss_and_metrics(
+                p, state.scales, batch, axis_name=AXIS
+            ),
+            has_aux=True,
+        )
+        (loss, (metrics, counts)), grads = grad_fn(state.params)
+        grads = jax.lax.psum(grads, AXIS)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+        import optax
+
+        params = optax.apply_updates(state.params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda s, p: s - (1.0 - ema_decay) * (s - p), state.ema_params, params
+        )
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
+        )
+        return new_state, metrics, counts
+
+    sharded = jax.shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_dp_eval_step(trainer: Trainer, mesh: Mesh):
+    def device_eval(params, scales, batch):
+        batch = {k: v[0] for k, v in batch.items()}
+        _, (metrics, counts) = trainer._loss_and_metrics(
+            params, scales, batch, axis_name=AXIS
+        )
+        return metrics, counts
+
+    sharded = jax.shard_map(
+        device_eval,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def shard_batch_to_mesh(stacked: dict, mesh: Mesh) -> dict:
+    sharding = NamedSharding(mesh, P(AXIS))
+    return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in stacked.items()}

@@ -12,6 +12,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU tunnel and overrides
+# JAX_PLATFORMS programmatically; pin tests to the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -30,9 +36,16 @@ def rng():
 
 
 def add_reference_shims():
-    """Make /root/reference importable: shim torch_scatter + numba (absent in env)."""
+    """Make /root/reference importable: shim torch_scatter + numba (absent in
+    env) and legacy numpy attributes the reference relies on."""
     shim_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "reference_shims")
     if shim_dir not in sys.path:
         sys.path.insert(0, shim_dir)
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+    import math
+
+    if not hasattr(np, "math"):
+        np.math = math  # np.math.factorial removed in numpy>=2
+    if not hasattr(np, "bool"):
+        np.bool = np.bool_  # np.bool removed; used in reference data_container

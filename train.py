@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Training driver — counterpart of the reference's train_seml.py:42-387.
+
+Reads the same flat YAML config schema (config.yaml), builds the model/data/
+trainer, and runs the step loop with periodic checkpointing, EMA-swapped
+validation, best-model tracking, plateau LR decay, and early stopping.
+
+Usage:
+    python train.py [--config config.yaml] [--num-steps N] [--dataset PATH]
+
+If the configured dataset is missing, a synthetic COLL-like dataset is
+generated (the reference's COLL npz blobs are large-blob-stripped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+import string
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="config.yaml")
+    p.add_argument("--num-steps", type=int, default=None)
+    p.add_argument("--dataset", default=None)
+    p.add_argument("--val-dataset", default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--evaluation-interval", type=int, default=None)
+    p.add_argument("--save-interval", type=int, default=None)
+    p.add_argument("--logdir", default=None)
+    p.add_argument("--restart", default=None)
+    p.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
+    p.add_argument("--synthetic-molecules", type=int, default=512)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s (%(levelname)s): %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S",
+    )
+
+    from gemnet_pytorch_tpu.config import ModelConfig, TrainConfig, load_yaml_config
+    from gemnet_pytorch_tpu.data import DataContainer, DataProvider, make_dataset
+    from gemnet_pytorch_tpu.models import make_model
+    from gemnet_pytorch_tpu.models.scaling import load_scales_from_json
+    from gemnet_pytorch_tpu.training import (
+        BestMetrics,
+        JsonlWriter,
+        Metrics,
+        PlateauState,
+        Trainer,
+        restore_checkpoint,
+        save_checkpoint,
+        save_params,
+    )
+
+    config = load_yaml_config(args.config) if os.path.exists(args.config) else {}
+    for key in ("num_steps", "dataset", "val_dataset", "batch_size", "logdir",
+                "restart", "evaluation_interval", "save_interval"):
+        val = getattr(args, key.replace("-", "_"), None)
+        if val is not None:
+            config[key] = val
+    mcfg = ModelConfig.from_dict(config)
+    tcfg = TrainConfig.from_dict(config)
+
+    np.random.seed(tcfg.data_seed)
+    rng_key = jax.random.PRNGKey(tcfg.tfseed)
+
+    # ---- run directory (reference train_seml.py:116-137) ----
+    if tcfg.restart in (None, "None"):
+        uid = "".join(
+            random.SystemRandom().choice(string.ascii_letters + string.digits)
+            for _ in range(6)
+        )
+        directory = os.path.join(
+            tcfg.logdir,
+            f"{datetime.now().strftime('%Y%m%d_%H%M%S')}_{uid}_"
+            f"{os.path.basename(tcfg.dataset or 'synthetic')}_{tcfg.comment}",
+        )
+    else:
+        directory = tcfg.restart
+    best_dir = os.path.join(directory, "best")
+    log_dir = os.path.join(directory, "logs")
+    for d in (directory, best_dir, log_dir):
+        os.makedirs(d, exist_ok=True)
+    logging.info("Directory: %s", directory)
+
+    ckpt_path = os.path.join(log_dir, "checkpoint")
+    best_path = os.path.join(best_dir, "model")
+
+    # ---- data ----
+    dataset = tcfg.dataset
+    if not dataset or not os.path.exists(dataset):
+        dataset = os.path.join(directory, "synthetic_train.npz")
+        logging.warning("dataset missing; generating synthetic data at %s", dataset)
+        make_dataset(dataset, n_molecules=args.synthetic_molecules, seed=tcfg.data_seed)
+    container = DataContainer(
+        dataset, cutoff=mcfg.cutoff, int_cutoff=mcfg.int_cutoff,
+        triplets_only=mcfg.triplets_only,
+    )
+    num_train = tcfg.num_train or int(0.9 * len(container))
+    num_val = tcfg.num_val or len(container) - num_train
+    provider = DataProvider(
+        container, num_train, num_val, tcfg.batch_size,
+        seed=tcfg.data_seed, shuffle=True, random_split=True,
+    )
+    train_iter = provider.get_dataset("train")
+    val_iter = provider.get_dataset("val")
+    logging.info("pad dims: %s", provider.pad_dims)
+
+    # ---- model/trainer ----
+    model = make_model(mcfg)
+    sample = {k: jnp.asarray(v) for k, v in next(train_iter).items()}
+    variables = dict(model.init(rng_key, sample))
+    if mcfg.scale_file and os.path.exists(mcfg.scale_file):
+        variables["scale_factors"] = load_scales_from_json(
+            variables.get("scale_factors", {}), mcfg.scale_file
+        )
+        logging.info("loaded scale factors from %s", mcfg.scale_file)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    logging.info("nParams: %d", n_params)
+
+    trainer = Trainer(model, tcfg)
+    state = trainer.init_state(variables)
+    plateau = PlateauState(
+        factor=tcfg.decay_factor, patience=tcfg.decay_patience,
+        cooldown=tcfg.decay_cooldown,
+    )
+
+    writer = JsonlWriter(os.path.join(log_dir, "metrics.jsonl"))
+    train_metrics = Metrics("train", trainer.tracked_metrics)
+    val_metrics = Metrics("val", trainer.tracked_metrics)
+    best_metrics = BestMetrics(best_dir, val_metrics, assert_exist=False)
+
+    step_init = 0
+    if os.path.exists(ckpt_path):
+        state, plateau = restore_checkpoint(ckpt_path, state, plateau)
+        best_metrics.restore()
+        step_init = int(state.step)
+        logging.info("restored checkpoint at step %d", step_init)
+    else:
+        best_metrics.initialize()
+
+    # ---- loop (reference train_seml.py:308-387) ----
+    steps_per_epoch = int(np.ceil(num_train / tcfg.batch_size))
+    t_start, t_steps = None, 0
+    for step in range(step_init + 1, tcfg.num_steps + 1):
+        state, loss = trainer.train_on_batch(
+            state, next(train_iter), plateau.lr_scale, train_metrics
+        )
+        if step == step_init + 2:
+            t_start, t_steps = time.perf_counter(), step  # skip compile step
+
+        if step % 10 == 0:
+            writer.add_scalar("lr_scale", plateau.lr_scale, step)
+
+        if step % tcfg.save_interval == 0:
+            save_checkpoint(ckpt_path, state, plateau)
+
+        if step % tcfg.evaluation_interval == 0:
+            if t_start is not None and step > t_steps:
+                sps = (time.perf_counter() - t_start) / (step - t_steps)
+                writer.add_scalar("seconds_per_step", sps, step)
+                logging.info(
+                    "seconds_per_step=%.4f min_per_epoch=%.2f",
+                    sps, sps * steps_per_epoch / 60,
+                )
+            # EMA-swapped validation (reference train_seml.py:345-356)
+            for _ in range(int(np.ceil(num_val / tcfg.batch_size))):
+                trainer.test_on_batch(state, next(val_iter), val_metrics, use_ema=True)
+            if val_metrics.loss < best_metrics.loss:
+                best_metrics.update(step, val_metrics)
+                save_params(best_path, state.ema_params, state.scales)
+            best_metrics.write(writer, step)
+            logging.info(
+                "%d/%d (epoch %d): %s",
+                step, tcfg.num_steps, step // steps_per_epoch,
+                "; ".join(
+                    f"{k}: train={train_metrics.result(False)[k]:.6f}, "
+                    f"val={val_metrics.result(False)[k]:.6f}"
+                    for k in val_metrics.keys
+                ),
+            )
+            plateau.step(val_metrics.loss)
+            train_metrics.write(writer, step)
+            val_metrics.write(writer, step)
+            train_metrics.reset_states()
+            val_metrics.reset_states()
+            if step - best_metrics.step > tcfg.patience * tcfg.evaluation_interval:
+                logging.info("early stopping at step %d", step)
+                break
+
+    save_checkpoint(ckpt_path, state, plateau)
+    logging.info("done; best: %s", dict(best_metrics.items()))
+    return {f"{k}_best": v for k, v in best_metrics.items()}
+
+
+if __name__ == "__main__":
+    main()
