@@ -57,7 +57,7 @@ def main():
         f"(padded {dims.n_triplets}/{dims.n_quads}, kmax4={dims.kmax4})")
 
     model = make_model(cfg)
-    variables = model.init(jax.random.PRNGKey(0), batch)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
 
     @jax.jit
     def forward(variables, batch):

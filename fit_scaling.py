@@ -82,7 +82,7 @@ def main():
 
     model = make_model(mcfg)
     sample = {k: jnp.asarray(v) for k, v in next(batch_iter).items()}
-    variables = dict(model.init(jax.random.PRNGKey(config.get("tfseed", 1234)), sample))
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(config.get("tfseed", 1234)), sample))
     if skip_fitted:
         variables["scale_factors"] = load_scales_from_json(
             variables.get("scale_factors", {}), args.scale_file

@@ -163,39 +163,63 @@ def _make_schedule(cfg: TrainConfig) -> Callable:
 # ----------------------------------------------------------------- loss/metrics
 
 
-def _global_ratio(num, den, axis_name):
-    """num/den with optional cross-device psum (exact global mean under DP)."""
-    if axis_name is not None:
-        num = jax.lax.psum(num, axis_name)
-        den = jax.lax.psum(den, axis_name)
-    return num / jnp.maximum(den, 1.0)
-
-
-def masked_mae(pred, target, mask, axis_name=None):
-    """Mean |err| over real rows x feature dims (reference get_mae)."""
+def _mae_parts(pred, target, mask):
+    """(sum |err|·mask, n_real_elements) — reference get_mae as num/den."""
     m = mask.astype(pred.dtype).reshape((-1,) + (1,) * (pred.ndim - 1))
     feat = pred.size // pred.shape[0]
-    return _global_ratio(
-        jnp.sum(jnp.abs(pred - target) * m), jnp.sum(m) * feat, axis_name
-    )
+    return jnp.sum(jnp.abs(pred - target) * m), jnp.sum(m) * feat
 
 
-def masked_rmse(pred, target, mask, axis_name=None):
-    """Mean over real rows of the per-row L2 norm (reference get_rmse)."""
+def _rmse_parts(pred, target, mask):
+    """(sum of per-row L2 norms, n_real_rows) — reference get_rmse as num/den."""
     m = mask.astype(pred.dtype)
     err = pred - target
     norms = jnp.sqrt(jnp.maximum(jnp.sum(err * err, axis=-1), 1e-24))
-    return _global_ratio(jnp.sum(norms * m), jnp.sum(m), axis_name)
+    return jnp.sum(norms * m), jnp.sum(m)
 
 
-def masked_nll(pred_mean, pred_var, target, mask, axis_name=None):
-    """Gaussian NLL, torch.nn.functional.gaussian_nll_loss semantics
-    (var clamped at 1e-6, 0.5·(log var + err²/var), mean reduction)."""
+def _nll_parts(pred_mean, pred_var, target, mask):
+    """Gaussian NLL num/den (torch gaussian_nll_loss semantics: var clamped
+    at 1e-6, 0.5·(log var + err²/var), mean reduction)."""
     m = mask.astype(pred_mean.dtype).reshape((-1,) + (1,) * (pred_mean.ndim - 1))
     var = jnp.maximum(pred_var, 1e-6)
     nll = 0.5 * (jnp.log(var) + (pred_mean - target) ** 2 / var)
     feat = pred_mean.size // pred_mean.shape[0]
-    return _global_ratio(jnp.sum(nll * m), jnp.sum(m) * feat, axis_name)
+    return jnp.sum(nll * m), jnp.sum(m) * feat
+
+
+def _ratios(parts, axis_name):
+    """Local and global means from (num, den) pairs.
+
+    Under DP (axis_name set) the differentiated loss must use the LOCAL
+    numerator over the GLOBAL denominator: the psum transpose re-psums the
+    replicated cotangent, so a psum'd numerator inside jax.grad would double-
+    count every shard (n_dev×). The per-device gradient of local_num/global_den
+    psums (parallel/dp.py) to the exact global-mean gradient. The psum'd
+    global mean is returned separately for metric reporting — no gradient
+    flows through it (denominators are mask counts, parameter-independent).
+    """
+    num, den = parts
+    if axis_name is None:
+        local = num / jnp.maximum(den, 1.0)
+        return local, local
+    den_global = jax.lax.psum(den, axis_name)
+    den_global = jnp.maximum(den_global, 1.0)
+    loss_term = num / den_global
+    metric = jax.lax.psum(num, axis_name) / den_global
+    return loss_term, metric
+
+
+def masked_mae(pred, target, mask, axis_name=None):
+    return _ratios(_mae_parts(pred, target, mask), axis_name)[1]
+
+
+def masked_rmse(pred, target, mask, axis_name=None):
+    return _ratios(_rmse_parts(pred, target, mask), axis_name)[1]
+
+
+def masked_nll(pred_mean, pred_var, target, mask, axis_name=None):
+    return _ratios(_nll_parts(pred_mean, pred_var, target, mask), axis_name)[1]
 
 
 # ------------------------------------------------------------------- trainer
@@ -253,15 +277,20 @@ class Trainer:
         mean_E, var_E, mean_F, var_F = self._predict(params, scales, batch)
         tE, tF = batch["E"], batch["F"]
         mol_mask, atom_mask = batch["mol_mask"], batch["atom_mask"]
-        energy_mae = masked_mae(mean_E, tE, mol_mask, axis_name)
-        force_mae = masked_mae(mean_F, tF, atom_mask, axis_name)
-        force_rmse = masked_rmse(mean_F, tF, atom_mask, axis_name)
+        e_mae_loc, energy_mae = _ratios(_mae_parts(mean_E, tE, mol_mask), axis_name)
+        f_mae_loc, force_mae = _ratios(_mae_parts(mean_F, tF, atom_mask), axis_name)
+        f_rmse_loc, force_rmse = _ratios(_rmse_parts(mean_F, tF, atom_mask), axis_name)
         if self.mve:
-            energy_nll = masked_nll(mean_E, var_E, tE, mol_mask, axis_name)
-            force_nll = masked_nll(mean_F, var_F, tF, atom_mask, axis_name)
-            loss = (1 - self.rho_force) * energy_nll + self.rho_force * force_nll
+            e_nll_loc, energy_nll = _ratios(
+                _nll_parts(mean_E, var_E, tE, mol_mask), axis_name
+            )
+            f_nll_loc, force_nll = _ratios(
+                _nll_parts(mean_F, var_F, tF, atom_mask), axis_name
+            )
+            loss = (1 - self.rho_force) * e_nll_loc + self.rho_force * f_nll_loc
             metrics = {
-                "loss": loss,
+                "loss": (1 - self.rho_force) * energy_nll
+                + self.rho_force * force_nll,
                 "energy_mae": energy_mae,
                 "energy_nll": energy_nll,
                 "energy_var": jnp.sum(var_E * mol_mask[:, None])
@@ -273,10 +302,11 @@ class Trainer:
                 / (3 * jnp.maximum(jnp.sum(atom_mask), 1.0)),
             }
         else:
-            force_metric = force_mae if self.cfg.loss == "mae" else force_rmse
-            loss = (1 - self.rho_force) * energy_mae + self.rho_force * force_metric
+            f_loc = f_mae_loc if self.cfg.loss == "mae" else f_rmse_loc
+            f_glob = force_mae if self.cfg.loss == "mae" else force_rmse
+            loss = (1 - self.rho_force) * e_mae_loc + self.rho_force * f_loc
             metrics = {
-                "loss": loss,
+                "loss": (1 - self.rho_force) * energy_mae + self.rho_force * f_glob,
                 "energy_mae": energy_mae,
                 "force_mae": force_mae,
                 "force_rmse": force_rmse,

@@ -126,7 +126,7 @@ def main():
     # ---- model/trainer ----
     model = make_model(mcfg)
     sample = {k: jnp.asarray(v) for k, v in next(train_iter).items()}
-    variables = dict(model.init(rng_key, sample))
+    variables = dict(jax.jit(model.init)(rng_key, sample))
     if mcfg.scale_file and os.path.exists(mcfg.scale_file):
         variables["scale_factors"] = load_scales_from_json(
             variables.get("scale_factors", {}), mcfg.scale_file
