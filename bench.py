@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Benchmark: triplet+quadruplet aggregation throughput per chip.
 
-Runs the flagship GemNet-Q configuration (config.yaml sizes) on a synthetic
-COLL-like batch and measures steady-state jitted forward+force throughput,
-reported as (real triplets + real quadruplets) processed per second per chip —
-the BASELINE.json headline metric. Prints ONE JSON line on stdout.
+Runs the flagship GemNet-Q configuration (config.yaml sizes, energy-gradient
+forces) on a synthetic COLL-like batch and measures the steady-state jitted
+FULL TRAINING STEP (loss with force term, double backward, optimizer, EMA) —
+the production hot path — reported as (real triplets + real quadruplets)
+processed per second per chip, the BASELINE.json headline metric. Inference
+forward throughput is logged to stderr. Prints ONE JSON line on stdout.
 
 vs_baseline: the reference publishes no in-repo numbers (BASELINE.md);
 the ratio is against this repo's recorded round-1 number (BENCH_BASE below)
@@ -19,7 +21,7 @@ import time
 
 import numpy as np
 
-BENCH_BASE = 3.64e8  # triplets+quads/s measured round 1 on TPU v5e (this repo)
+BENCH_BASE = 4.08e7  # trip+quads/s through the TRAIN STEP, round 1, TPU v5e
 
 
 def log(*a):
@@ -36,8 +38,12 @@ def main():
     from gemnet_pytorch_tpu.data.synthetic import random_molecule
     from gemnet_pytorch_tpu.models import energy_and_forces, make_model
 
+    from gemnet_pytorch_tpu.config import TrainConfig
+    from gemnet_pytorch_tpu.training import Trainer
+
     cfg_dict = load_yaml_config("config.yaml")
-    cfg = ModelConfig.from_dict({**cfg_dict, "direct_forces": True})
+    cfg = ModelConfig.from_dict(cfg_dict)  # canonical: direct_forces=False
+    tcfg = TrainConfig.from_dict(cfg_dict)
     log("devices:", jax.devices())
 
     # batch of 32 molecules, 8-12 atoms (COLL-like sizes)
@@ -47,10 +53,14 @@ def main():
     Z = np.concatenate([z for z, _ in mols])
     R = np.concatenate([r for _, r in mols])
     g = build_graph(R, N, cfg.cutoff, cfg.int_cutoff, triplets_only=False)
-    base = PadDims(n_mol=32, n_atoms=16, n_edges=128, n_triplets=256, kmax3=4,
-                   n_int_edges=64, n_intm=256, n_quads=512, kmax4=4)
+    base = PadDims(n_mol=32, n_atoms=16, n_edges=128, n_triplets=512, kmax3=4,
+                   n_int_edges=64, n_intm=512, n_quads=512, kmax4=4)
     dims = base.grow_to(_scale_graph_dims(g, 1.05), 32, len(Z))
-    batch_np = pad_batch(g, Z, R, dims, triplets_only=False)
+    from gemnet_pytorch_tpu.data.synthetic import _toy_energy_forces
+    EF = [_toy_energy_forces(z, r) for z, r in mols]
+    E_t = np.array([e for e, _ in EF], np.float32)
+    F_t = np.concatenate([f for _, f in EF])
+    batch_np = pad_batch(g, Z, R, dims, E=E_t, F=F_t, triplets_only=False)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     n_real = g.n_triplets + g.n_quads
     log(f"batch: {g.n_edges} edges, {g.n_triplets} triplets, {g.n_quads} quads "
@@ -67,20 +77,35 @@ def main():
     t0 = time.perf_counter()
     E, F = forward(variables, batch)
     jax.block_until_ready(E)
-    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+    log(f"fwd compile+first run: {time.perf_counter() - t0:.1f}s")
 
-    # steady state
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         E, F = forward(variables, batch)
     jax.block_until_ready(E)
     dt = (time.perf_counter() - t0) / iters
+    log(f"fwd steady: {dt*1e3:.2f} ms/batch -> {n_real/dt:.3e} trip+quad/s")
+
+    # full training step (loss incl. -dE/dR forces, double backward, optimizer)
+    trainer = Trainer(model, tcfg)
+    state = trainer.init_state(dict(variables))
+    step = trainer.train_step_fn()
+    lr = jnp.asarray(1.0, jnp.float32)
+    t0 = time.perf_counter()
+    state, metrics, _ = step(state, batch, lr)
+    jax.block_until_ready(metrics["loss"])
+    log(f"train compile+first step: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics, _ = step(state, batch, lr)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
     per_sec = n_real / dt
-    log(f"steady: {dt*1e3:.2f} ms/batch -> {per_sec:.3e} trip+quad/s")
+    log(f"train steady: {dt*1e3:.2f} ms/step -> {per_sec:.3e} trip+quad/s")
 
     print(json.dumps({
-        "metric": "triplets+quads aggregated/sec/chip (GemNet-Q fwd+forces)",
+        "metric": "triplets+quads aggregated/sec/chip (GemNet-Q train step)",
         "value": per_sec,
         "unit": "agg/s/chip",
         "vs_baseline": per_sec / BENCH_BASE,

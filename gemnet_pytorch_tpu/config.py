@@ -50,6 +50,9 @@ class ModelConfig:
     output_init: str = "HeOrthogonal"
     activation: str = "swish"
     scale_file: Optional[str] = None
+    # TPU execution knob (no reference counterpart): "auto" uses the Pallas
+    # fused segment kernels on TPU and the XLA fallback on CPU
+    bilinear_implementation: str = "auto"
 
     @classmethod
     def from_dict(cls, d: dict) -> "ModelConfig":

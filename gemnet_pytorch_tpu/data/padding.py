@@ -13,13 +13,14 @@ Padding convention (load-bearing, used throughout the model):
   dropping: every scatter in the model is a segment-**sum** whose source rows
   are pre-multiplied by the source mask, so padded rows contribute exact
   zeros; every mean divides by mask counts.
-- The canonical edge layout [lower-half c<a ; upper-half reversed]
-  (reference data_container.py:287-308) is preserved *within the padded
-  buffer*: real edges occupy slots [0, nE/2) and [P/2, P/2+nE/2) of a padded
-  edge buffer of (even) size P, so `id_swap = (j + P/2) % P` and
-  `id_undir = j % (P/2)` stay uniform closed forms for real and padded slots
-  alike. Edge ids appearing in triplet/quadruplet arrays are remapped
-  accordingly.
+- Real edges stay **contiguous** at [0, nE) (canonical order: lower half c<a
+  then the reversed half, reference data_container.py:287-308); padding sits
+  at [nE, P). Contiguity keeps the sorted triplet/quadruplet reduce ids
+  gap-free, which the Pallas segment kernels rely on for tight segment bands
+  (ops/pallas/segment_outer.py). Padded triplet/quad rows carry reduce id
+  min(nE, P-1), preserving sortedness; `*_row_splits` arrays give, for every
+  EDGE_BLOCK of segment ids, the first triplet/quad row (host-side
+  searchsorted), which the kernels prefetch.
 - Padded edge distances are where-guarded in the model (ops/geometry.py) so
   sqrt/divide gradients stay finite on the jax.grad force path.
 """
@@ -32,6 +33,9 @@ from typing import Optional
 import numpy as np
 
 from .graph import GraphArrays, INT
+
+EDGE_BLOCK = 32   # segment ids per Pallas grid step (kernels' seg_block)
+ROW_BLOCK = 512   # triplet/quad rows per kernel DMA chunk
 
 
 def round_up(x: int, m: int) -> int:
@@ -75,23 +79,24 @@ class PadDims:
             n_mol=max(self.n_mol, n_mol),
             n_atoms=max(self.n_atoms, round_up(n_atoms, 16)),
             n_edges=max(self.n_edges, 2 * round_up(g.n_edges // 2 + g.n_edges % 2, 64)),
-            n_triplets=max(self.n_triplets, round_up(g.n_triplets, 256)),
+            n_triplets=max(self.n_triplets, round_up(g.n_triplets, ROW_BLOCK)),
             kmax3=max(self.kmax3, round_up(g.kmax3, 4)),
             n_int_edges=max(self.n_int_edges, round_up(g.n_int_edges, 64))
             if g.n_int_edges
             else self.n_int_edges,
-            n_intm=max(self.n_intm, round_up(g.n_intm, 256)) if g.n_intm else self.n_intm,
-            n_quads=max(self.n_quads, round_up(g.n_quads, 512))
+            n_intm=max(self.n_intm, round_up(g.n_intm, ROW_BLOCK)) if g.n_intm else self.n_intm,
+            n_quads=max(self.n_quads, round_up(g.n_quads, ROW_BLOCK))
             if g.n_quads
             else self.n_quads,
             kmax4=max(self.kmax4, round_up(g.kmax4, 4)) if g.kmax4 else self.kmax4,
         )
 
 
-def _remap_edge_ids(ids: np.ndarray, n_real_half: int, pad_half: int) -> np.ndarray:
-    """Map canonical edge ids into the padded edge buffer (halves preserved)."""
-    ids = ids.astype(np.int64)
-    return np.where(ids < n_real_half, ids, ids - n_real_half + pad_half).astype(INT)
+def _row_splits(sorted_ids: np.ndarray, n_segments: int) -> np.ndarray:
+    """First row index for every EDGE_BLOCK of segment ids (for the Pallas
+    segment kernels' scalar prefetch)."""
+    bounds = np.arange(0, n_segments + EDGE_BLOCK, EDGE_BLOCK)
+    return np.searchsorted(sorted_ids, bounds, side="left").astype(INT)
 
 
 def _pad1(a: np.ndarray, n: int, fill=0) -> np.ndarray:
@@ -121,9 +126,9 @@ def pad_batch(
     )
 
     P = dims.n_edges
-    half = P // 2
     nE = g.n_edges
     nE2 = nE // 2
+    trip_pad_id = min(nE, P - 1)  # keeps sorted reduce ids sorted after padding
 
     out: dict[str, np.ndarray] = {}
     out["Z"] = _pad1(Z.astype(INT), dims.n_atoms, fill=1)  # padded atoms: H (masked)
@@ -133,26 +138,21 @@ def pad_batch(
     out["mol_mask"] = (np.arange(dims.n_mol) < n_mol).astype(np.bool_)
     out["n_mol"] = np.array(n_mol, dtype=INT)
 
-    # edges: real slots [0,nE2) and [half, half+nE2)
-    def place_edges(a: np.ndarray, fill=0) -> np.ndarray:
-        outb = np.full((P,) + a.shape[1:], fill, dtype=a.dtype)
-        outb[:nE2] = a[:nE2]
-        outb[half : half + nE2] = a[nE2:]
-        return outb
-
-    out["id_c"] = place_edges(g.id_c)
-    out["id_a"] = place_edges(g.id_a)
+    # edges: real slots contiguous at [0, nE)
     j = np.arange(P, dtype=INT)
-    out["id_undir"] = j % half
-    out["id_swap"] = (j + half) % P
-    out["edge_mask"] = (j % half) < nE2
+    out["id_c"] = _pad1(g.id_c, P)
+    out["id_a"] = _pad1(g.id_a, P)
+    out["id_undir"] = np.where(j < nE, j % max(nE2, 1), 0).astype(INT)
+    swap = np.where(j < nE2, j + nE2, j - nE2)
+    out["id_swap"] = np.where(j < nE, swap, j).astype(INT)
+    out["edge_mask"] = j < nE
 
-    # triplets
-    remap = lambda ids: _remap_edge_ids(ids, nE2, half)  # noqa: E731
-    out["id3_reduce_ca"] = _pad1(remap(g.id3_reduce_ca), dims.n_triplets)
-    out["id3_expand_ba"] = _pad1(remap(g.id3_expand_ba), dims.n_triplets)
+    # triplets (sorted by reduce id; padding keeps them sorted)
+    out["id3_reduce_ca"] = _pad1(g.id3_reduce_ca, dims.n_triplets, fill=trip_pad_id)
+    out["id3_expand_ba"] = _pad1(g.id3_expand_ba, dims.n_triplets)
     out["Kidx3"] = _pad1(g.Kidx3, dims.n_triplets)
     out["trip_mask"] = (np.arange(dims.n_triplets) < g.n_triplets).astype(np.bool_)
+    out["trip_row_splits"] = _row_splits(out["id3_reduce_ca"], P)
     # kmax is consumed as a static shape at trace time (shape-carrier array)
     out["kmax3_static"] = np.zeros(dims.kmax3, np.bool_)
 
@@ -171,8 +171,8 @@ def pad_batch(
         np.bool_
     )
     # intermediate triplets (two interleaved spaces share the padded length)
-    out["id4_reduce_intm_ca"] = _pad1(remap(g.id4_reduce_intm_ca), dims.n_intm)
-    out["id4_expand_intm_db"] = _pad1(remap(g.id4_expand_intm_db), dims.n_intm)
+    out["id4_reduce_intm_ca"] = _pad1(g.id4_reduce_intm_ca, dims.n_intm)
+    out["id4_expand_intm_db"] = _pad1(g.id4_expand_intm_db, dims.n_intm)
     out["id4_reduce_intm_ab"] = _pad1(g.id4_reduce_intm_ab, dims.n_intm)
     out["id4_expand_intm_ab"] = _pad1(g.id4_expand_intm_ab, dims.n_intm)
     out["intm_ca_mask"] = (np.arange(dims.n_intm) < len(g.id4_reduce_intm_ca)).astype(
@@ -181,13 +181,14 @@ def pad_batch(
     out["intm_db_mask"] = (np.arange(dims.n_intm) < len(g.id4_expand_intm_db)).astype(
         np.bool_
     )
-    # quadruplets
-    out["id4_reduce_ca"] = _pad1(remap(g.id4_reduce_ca), dims.n_quads)
-    out["id4_expand_db"] = _pad1(remap(g.id4_expand_db), dims.n_quads)
+    # quadruplets (sorted by reduce id; padding keeps them sorted)
+    out["id4_reduce_ca"] = _pad1(g.id4_reduce_ca, dims.n_quads, fill=trip_pad_id)
+    out["id4_expand_db"] = _pad1(g.id4_expand_db, dims.n_quads)
     out["id4_reduce_cab"] = _pad1(g.id4_reduce_cab, dims.n_quads)
     out["id4_expand_abd"] = _pad1(g.id4_expand_abd, dims.n_quads)
     out["Kidx4"] = _pad1(g.Kidx4, dims.n_quads)
     out["quad_mask"] = (np.arange(dims.n_quads) < g.n_quads).astype(np.bool_)
+    out["quad_row_splits"] = _row_splits(out["id4_reduce_ca"], P)
     out["kmax4_static"] = np.zeros(dims.kmax4, np.bool_)
     return out
 

@@ -102,14 +102,8 @@ class GemNet(nn.Module):
         # ---- basis: triplets (efficient layout) ----
         rbf = self.rbf_basis(frequencies, D_ca) * edge_mask[:, None].astype(R.dtype)
         cbf3_env = self.cbf_basis3.rbf_env(D_ca, edge_mask)  # (E, S, R)
-        sph3 = self.cbf_basis3.cbf(angles3)  # (T, S)
-        from ..ops.segment import scatter_to_padded_dense
-
-        kmax3 = batch["kmax3_static"].shape[0]
-        sph3_dense = scatter_to_padded_dense(
-            sph3, batch["id3_reduce_ca"], batch["Kidx3"],
-            num_segments=id_c.shape[0], kmax=kmax3, mask=masks["trip"],
-        )  # (E, Kmax3, S)
+        sph3 = self.cbf_basis3.cbf(angles3)  # (T, S) — rows feed the fused
+        # segment kernel directly; no padded dense is built
 
         basis: dict[str, Any] = {}
         if not cfg.triplets_only:
@@ -139,11 +133,6 @@ class GemNet(nn.Module):
             # efficient spherical basis over quadruplets
             sbf_env = self.sbf_basis.rbf_env3(D_ca, edge_mask)  # (E, S^2, R)
             sph_sbf = self.sbf_basis.sbf(phi_cab, theta_cabd)  # (Q, S^2)
-            kmax4 = batch["kmax4_static"].shape[0]
-            sph_sbf_dense = scatter_to_padded_dense(
-                sph_sbf, batch["id4_reduce_ca"], batch["Kidx4"],
-                num_segments=id_c.shape[0], kmax=kmax4, mask=masks["quad"],
-            )  # (E, Kmax4, S^2)
 
         # ---- shared down-projections (reference gemnet.py:158-205,532-545) ----
         if not cfg.triplets_only:
@@ -152,12 +141,12 @@ class GemNet(nn.Module):
             rbf_W1_sbf = EfficientInteractionDownProjection(
                 cfg.num_spherical**2, cfg.num_radial, cfg.emb_size_sbf, name="mlp_sbf4"
             )(sbf_env)
-            basis["sbf4"] = (rbf_W1_sbf, sph_sbf_dense)
+            basis["sbf4"] = (rbf_W1_sbf, sph_sbf)
         basis["rbf3"] = Dense(cfg.emb_size_rbf, name="mlp_rbf3")(rbf)
         rbf_W1_cbf3 = EfficientInteractionDownProjection(
             cfg.num_spherical, cfg.num_radial, cfg.emb_size_cbf, name="mlp_cbf3"
         )(cbf3_env)
-        basis["cbf3"] = (rbf_W1_cbf3, sph3_dense)
+        basis["cbf3"] = (rbf_W1_cbf3, sph3)
         basis["rbf_h"] = Dense(cfg.emb_size_rbf, name="mlp_rbf_h")(rbf)
         rbf_out = Dense(cfg.emb_size_rbf, name="mlp_rbf_out")(rbf)
 
@@ -172,14 +161,14 @@ class GemNet(nn.Module):
             "id_swap": batch["id_swap"],
             "id3_expand_ba": batch["id3_expand_ba"],
             "id3_reduce_ca": batch["id3_reduce_ca"],
-            "Kidx3": batch["Kidx3"],
+            "trip_row_splits": batch["trip_row_splits"],
         }
         if not cfg.triplets_only:
             indices.update(
                 id4_reduce_ca=batch["id4_reduce_ca"],
                 id4_expand_intm_db=batch["id4_expand_intm_db"],
                 id4_expand_abd=batch["id4_expand_abd"],
-                Kidx4=batch["Kidx4"],
+                quad_row_splits=batch["quad_row_splits"],
             )
 
         # ---- block stack ----
@@ -210,6 +199,7 @@ class GemNet(nn.Module):
                 triplets_only=cfg.triplets_only,
                 block_nr=i + 1,
                 activation=cfg.activation,
+                implementation=cfg.bilinear_implementation,
                 name=f"int_blocks_{i}",
             )(h, m, basis, indices, masks)
             E, F = OutputBlock(

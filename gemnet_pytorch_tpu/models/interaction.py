@@ -36,9 +36,10 @@ class QuadrupletInteraction(nn.Module):
     emb_size_bilinear: int
     activation: Optional[str] = None
     scale_prefix: str = "QuadInteraction_1"
+    implementation: str = "auto"
 
     @nn.compact
-    def __call__(self, m, rbf, cbf, sbf, kidx4, id_swap, id4_reduce_ca,
+    def __call__(self, m, rbf, cbf, sbf, quad_row_splits, id_swap, id4_reduce_ca,
                  id4_expand_intm_db, id4_expand_abd, masks):
         x_db = Dense(self.emb_size_edge, activation=self.activation, name="dense_db")(m)
 
@@ -59,10 +60,12 @@ class QuadrupletInteraction(nn.Module):
 
         # spherical basis bilinear over quadruplets -> edges
         x_db = x_db[id4_expand_abd]
-        rbf_W1, sph = sbf
+        rbf_W1, sph_rows = sbf
         x = EfficientInteractionBilinear(
-            self.emb_size_quad, rbf_W1.shape[1], self.emb_size_bilinear, name="mlp_sbf"
-        )(rbf_W1, sph, x_db, id4_reduce_ca, kidx4, mask=masks["quad"])
+            self.emb_size_quad, rbf_W1.shape[1], self.emb_size_bilinear,
+            implementation=self.implementation, name="mlp_sbf",
+        )(rbf_W1, sph_rows, x_db, id4_reduce_ca, quad_row_splits,
+          mask=masks["quad"])
         x = ScalingFactor(self.scale_prefix + "_sum_sbf", name="scale_sbf_sum")(
             x_db, x, mask_ref=masks["quad"], mask_y=masks["edge"]
         )
@@ -83,9 +86,10 @@ class TripletInteraction(nn.Module):
     emb_size_bilinear: int
     activation: Optional[str] = None
     scale_prefix: str = "TripInteraction_1"
+    implementation: str = "auto"
 
     @nn.compact
-    def __call__(self, m, rbf3, cbf3, kidx3, id_swap, id3_expand_ba,
+    def __call__(self, m, rbf3, cbf3, trip_row_splits, id_swap, id3_expand_ba,
                  id3_reduce_ca, masks):
         x_ba = Dense(self.emb_size_edge, activation=self.activation, name="dense_ba")(m)
 
@@ -97,10 +101,12 @@ class TripletInteraction(nn.Module):
                      name="down_projection")(x_ba)
 
         x_ba = x_ba[id3_expand_ba]
-        rbf_W1, sph = cbf3
+        rbf_W1, sph_rows = cbf3
         x = EfficientInteractionBilinear(
-            self.emb_size_trip, rbf_W1.shape[1], self.emb_size_bilinear, name="mlp_cbf"
-        )(rbf_W1, sph, x_ba, id3_reduce_ca, kidx3, mask=masks["trip"])
+            self.emb_size_trip, rbf_W1.shape[1], self.emb_size_bilinear,
+            implementation=self.implementation, name="mlp_cbf",
+        )(rbf_W1, sph_rows, x_ba, id3_reduce_ca, trip_row_splits,
+          mask=masks["trip"])
         x = ScalingFactor(self.scale_prefix + "_sum_cbf", name="scale_cbf_sum")(
             x_ba, x, mask_ref=masks["trip"], mask_y=masks["edge"]
         )
@@ -131,6 +137,7 @@ class InteractionBlock(nn.Module):
     triplets_only: bool
     block_nr: int = 1
     activation: Optional[str] = None
+    implementation: str = "auto"
 
     @nn.compact
     def __call__(self, h, m, basis, indices, masks):
@@ -143,10 +150,12 @@ class InteractionBlock(nn.Module):
             emb_size_bilinear=self.emb_size_bil_trip,
             activation=self.activation,
             scale_prefix=f"TripInteraction_{self.block_nr}",
+            implementation=self.implementation,
             name="trip_interaction",
         )(
-            m, basis["rbf3"], basis["cbf3"], indices["Kidx3"], indices["id_swap"],
-            indices["id3_expand_ba"], indices["id3_reduce_ca"], masks,
+            m, basis["rbf3"], basis["cbf3"], indices["trip_row_splits"],
+            indices["id_swap"], indices["id3_expand_ba"],
+            indices["id3_reduce_ca"], masks,
         )
 
         if not self.triplets_only:
@@ -156,11 +165,13 @@ class InteractionBlock(nn.Module):
                 emb_size_bilinear=self.emb_size_bil_quad,
                 activation=self.activation,
                 scale_prefix=f"QuadInteraction_{self.block_nr}",
+                implementation=self.implementation,
                 name="quad_interaction",
             )(
-                m, basis["rbf4"], basis["cbf4"], basis["sbf4"], indices["Kidx4"],
-                indices["id_swap"], indices["id4_reduce_ca"],
-                indices["id4_expand_intm_db"], indices["id4_expand_abd"], masks,
+                m, basis["rbf4"], basis["cbf4"], basis["sbf4"],
+                indices["quad_row_splits"], indices["id_swap"],
+                indices["id4_reduce_ca"], indices["id4_expand_intm_db"],
+                indices["id4_expand_abd"], masks,
             )
             x = (x_ca_skip + x3 + x4) * _INV_SQRT3
         else:

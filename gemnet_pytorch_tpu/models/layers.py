@@ -168,20 +168,25 @@ class EfficientInteractionDownProjection(nn.Module):
 
 
 class EfficientInteractionBilinear(nn.Module):
-    """Bilinear contraction + neighbor sum (reference efficient.py:120-189)."""
+    """Bilinear contraction + neighbor sum (reference efficient.py:120-189),
+    running on the fused segment-outer-sum kernel (ops/bilinear.py)."""
 
     emb_size: int
     emb_size_interm: int
     units_out: int
+    implementation: str = "auto"
 
     @nn.compact
-    def __call__(self, rbf_W1, sph, m, id_reduce, kidx, mask=None):
+    def __call__(self, rbf_W1, sph_rows, m, id_reduce, row_splits, mask=None):
         w = self.param(
             "weight",
             he_orthogonal,
             (self.emb_size, self.emb_size_interm, self.units_out),
         )
-        return bil_ops.bilinear(rbf_W1, sph, m, id_reduce, kidx, w, mask=mask)
+        return bil_ops.bilinear(
+            rbf_W1, sph_rows, m, id_reduce, row_splits, w, mask=mask,
+            implementation=self.implementation,
+        )
 
 
 class AtomUpdateBlock(nn.Module):

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .pallas.segment_outer import segment_outer_sum
 from .segment import scatter_to_padded_dense
 
 
@@ -33,26 +34,35 @@ def down_projection(rbf_env: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
 
 def bilinear(
     rbf_W1: jnp.ndarray,
-    sph: jnp.ndarray,
+    sph_rows: jnp.ndarray,
     m: jnp.ndarray,
     id_reduce: jnp.ndarray,
-    kidx: jnp.ndarray,
+    row_splits: jnp.ndarray,
     weight: jnp.ndarray,
     mask: jnp.ndarray | None = None,
+    implementation: str = "auto",
 ) -> jnp.ndarray:
     """Bilinear contraction + neighbor summation (reference efficient.py:159-189).
 
+    The reference scatters grouped messages into a zero-padded
+    (nEdges, Kmax, emb) dense and runs three batched matmuls; here the
+    neighbor sum  sum_k[s,e,m] = Σ_t sph[t,s]·m[t,m]  runs as one fused
+    segment-outer-sum (Pallas on TPU, ops/pallas/segment_outer.py), then two
+    MXU einsums finish the contraction.
+
     rbf_W1: (nEdges, I, S) down-projected radial basis
-    sph: (nEdges, Kmax, S) zero-padded spherical values
+    sph_rows: (nTriplets, S) per-row spherical values (sorted by id_reduce)
     m: (nTriplets, emb) grouped neighbor messages (sorted by id_reduce)
     weight: (emb, I, out)
     returns (nEdges, out)
     """
-    n_edges, kmax, _ = sph.shape
-    m2 = scatter_to_padded_dense(m, id_reduce, kidx, n_edges, kmax, mask=mask)
-    # (E, S, K) @ (E, K, M) -> (E, S, M)
-    sum_k = jnp.einsum("eks,ekm->esm", sph, m2)
-    # (E, I, S) @ (E, S, M) -> (E, I, M)
-    rbf_w1_sum_k = jnp.einsum("eis,esm->eim", rbf_W1, sum_k)
+    n_edges = rbf_W1.shape[0]
+    if mask is not None:
+        m = m * mask.astype(m.dtype)[:, None]
+    sum_k = segment_outer_sum(
+        sph_rows, m, id_reduce, row_splits, n_edges, implementation
+    )  # (S, E, M)
+    # (E, I, S) @ (S, E, M) -> (E, I, M)
+    rbf_w1_sum_k = jnp.einsum("eis,sem->eim", rbf_W1, sum_k)
     # contract (I, M) with weight (M, I, O)
     return jnp.einsum("eim,mio->eo", rbf_w1_sum_k, weight)

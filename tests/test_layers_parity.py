@@ -90,8 +90,10 @@ def test_efficient_bilinear_parity():
     ).detach().numpy()
 
     w = ref.weight.detach().numpy()
+    splits = np.searchsorted(id_reduce, np.arange(0, n_edges + 32, 32)).astype(np.int32)
     y = np.asarray(
-        bilinear(rbf_W1, sph_dense, m, id_reduce, kidx, w, mask=np.ones(n_rows, bool))
+        bilinear(rbf_W1, sph_rows, m, id_reduce, splits, w,
+                 mask=np.ones(n_rows, bool), implementation="xla")
     )
     np.testing.assert_allclose(y, ref_y, rtol=1e-4, atol=1e-5)
 

@@ -30,19 +30,35 @@ def _build(synthetic_npz, triplets_only):
 
 def test_padded_edges_roundtrip(synthetic_npz):
     g, b, dims = _build(synthetic_npz, triplets_only=True)
-    P, half = dims.n_edges, dims.n_edges // 2
-    nE2 = g.n_edges // 2
+    nE = g.n_edges
     em = b["edge_mask"]
-    assert em.sum() == g.n_edges
-    # real slots carry canonical values
-    np.testing.assert_array_equal(b["id_c"][:nE2], g.id_c[:nE2])
-    np.testing.assert_array_equal(b["id_c"][half : half + nE2], g.id_c[nE2:])
-    # swap closed form reverses edges on real slots
+    assert em.sum() == nE
+    # real edges contiguous, canonical order preserved
+    np.testing.assert_array_equal(b["id_c"][:nE], g.id_c)
+    np.testing.assert_array_equal(b["id_a"][:nE], g.id_a)
+    # swap reverses edges on real slots; padded slots map to themselves
     sw = b["id_swap"]
     np.testing.assert_array_equal(b["id_c"][sw][em], b["id_a"][em])
-    np.testing.assert_array_equal(b["id_undir"], b["id_undir"][sw])
+    np.testing.assert_array_equal(b["id_undir"][:nE], b["id_undir"][sw][:nE])
+    np.testing.assert_array_equal(sw[nE:], np.arange(nE, dims.n_edges))
     # masks align between swapped pairs
     np.testing.assert_array_equal(em, em[sw])
+
+
+def test_row_splits_cover_sorted_triplets(synthetic_npz):
+    from gemnet_pytorch_tpu.data.padding import EDGE_BLOCK
+
+    g, b, dims = _build(synthetic_npz, triplets_only=True)
+    ids = b["id3_reduce_ca"]
+    assert np.all(np.diff(ids) >= 0), "padded reduce ids must stay sorted"
+    splits = b["trip_row_splits"]
+    assert len(splits) == -(-dims.n_edges // EDGE_BLOCK) + 1
+    for blk in range(len(splits) - 1):
+        lo, hi = splits[blk], splits[blk + 1]
+        if hi > lo:
+            seg = ids[lo:hi]
+            assert seg.min() >= blk * EDGE_BLOCK
+            assert seg.max() < (blk + 1) * EDGE_BLOCK
 
 
 def test_padded_triplets_consistent(synthetic_npz):
