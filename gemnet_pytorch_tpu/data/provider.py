@@ -96,41 +96,67 @@ class DataProvider:
         )
 
     # -- iteration (reference data_provider.py:137-174) --
-    def get_dataset(
-        self, split: str, batch_size: Optional[int] = None
-    ) -> Iterator[dict[str, np.ndarray]]:
-        assert split in self.idx
-        batch_size = batch_size or self.batch_size
+    def _build_padded(self, sel: np.ndarray) -> dict[str, np.ndarray]:
+        from .padding import _scale_graph_dims, pad_batch
+
+        g, Z, R, E, F = self.data_container.build(sel)
+        n_mol = len(sel)
+        if not self.pad_dims.fits(g, n_mol, len(Z)):
+            # rare outlier batch: grow dims (forces one recompile)
+            self.pad_dims = self.pad_dims.grow_to(
+                _scale_graph_dims(g, 1.25), n_mol, int(len(Z) * 1.25)
+            )
+        return pad_batch(
+            g, Z, R, self.pad_dims, E=E, F=F,
+            triplets_only=self.data_container.triplets_only,
+        )
+
+    def _selections(self, split: str, batch_size: int):
         shuffle = self.shuffle if split == "train" else False
         indices = self.idx[split]
         rng = np.random.RandomState(self.seed)
+        while True:
+            order = rng.permutation(indices) if shuffle else indices
+            for i in range(0, len(order), batch_size):
+                sel = order[i : i + batch_size]
+                if len(sel):
+                    yield sel
+
+    def get_dataset(
+        self,
+        split: str,
+        batch_size: Optional[int] = None,
+        prefetch_workers: int = 2,
+        prefetch_depth: int = 4,
+    ) -> Iterator[dict[str, np.ndarray]]:
+        """Infinite padded-batch iterator. With prefetch_workers > 0, batches
+        are built by background threads ahead of consumption (the native graph
+        builder and numpy padding release the GIL), overlapping host-side
+        graph construction with device steps — the reference's
+        DataLoader-worker role (data_provider.py:164), absent there by
+        default (num_workers=0)."""
+        assert split in self.idx
+        batch_size = batch_size or self.batch_size
+        sels = self._selections(split, batch_size)
+
+        if prefetch_workers <= 0:
+            def generator():
+                for sel in sels:
+                    yield self._build_padded(sel)
+
+            return generator()
+
+        from concurrent.futures import ThreadPoolExecutor
 
         def generator():
-            while True:
-                order = rng.permutation(indices) if shuffle else indices
-                for i in range(0, len(order), batch_size):
-                    sel = order[i : i + batch_size]
-                    if len(sel) == 0:
-                        continue
-                    g, Z, R, E, F = self.data_container.build(sel)
-                    n_mol = len(sel)
-                    if not self.pad_dims.fits(g, n_mol, len(Z)):
-                        # rare outlier batch: grow dims (forces one recompile)
-                        from .padding import _scale_graph_dims
-
-                        self.pad_dims = self.pad_dims.grow_to(
-                            _scale_graph_dims(g, 1.25), n_mol, int(len(Z) * 1.25)
-                        )
-                    from .padding import pad_batch
-
-                    yield pad_batch(
-                        g,
-                        Z,
-                        R,
-                        self.pad_dims,
-                        E=E,
-                        F=F,
-                        triplets_only=self.data_container.triplets_only,
-                    )
+            with ThreadPoolExecutor(max_workers=prefetch_workers) as pool:
+                pending = [
+                    pool.submit(self._build_padded, next(sels))
+                    for _ in range(prefetch_depth)
+                ]
+                while True:
+                    fut = pending.pop(0)
+                    pending.append(pool.submit(self._build_padded, next(sels)))
+                    yield fut.result()
 
         return generator()
