@@ -105,6 +105,27 @@ def _pad1(a: np.ndarray, n: int, fill=0) -> np.ndarray:
     return out
 
 
+def _shrink_ids(out: dict[str, np.ndarray], dims: PadDims) -> dict[str, np.ndarray]:
+    """Downcast index arrays to int16 where the (static) target space allows —
+    halves the per-step host->device transfer. Target-space bound comes from
+    PadDims, so the dtype is shape-stable across batches."""
+    families = {
+        ("Z", "batch_seg", "id_c", "id_a", "id4_int_a", "id4_int_b"): dims.n_atoms,
+        ("id_undir", "id_swap", "id3_reduce_ca", "id3_expand_ba",
+         "id4_reduce_ca", "id4_expand_db", "id4_reduce_intm_ca",
+         "id4_expand_intm_db"): dims.n_edges,
+        ("id4_reduce_cab", "id4_expand_abd", "id4_reduce_intm_ab",
+         "id4_expand_intm_ab"): max(dims.n_intm, dims.n_int_edges),
+        ("Kidx3", "Kidx4"): max(dims.kmax3, dims.kmax4),
+    }
+    for keys, bound in families.items():
+        if bound < 32767:
+            for k in keys:
+                if k in out:
+                    out[k] = out[k].astype(np.int16)
+    return out
+
+
 def pad_batch(
     g: GraphArrays,
     Z: np.ndarray,
@@ -162,7 +183,7 @@ def pad_batch(
         out["F"] = _pad1(F.astype(np.float32), dims.n_atoms)
 
     if triplets_only:
-        return out
+        return _shrink_ids(out, dims)
 
     # interaction edges
     out["id4_int_a"] = _pad1(g.id4_int_a, dims.n_int_edges)
@@ -190,7 +211,7 @@ def pad_batch(
     out["quad_mask"] = (np.arange(dims.n_quads) < g.n_quads).astype(np.bool_)
     out["quad_row_splits"] = _row_splits(out["id4_reduce_ca"], P)
     out["kmax4_static"] = np.zeros(dims.kmax4, np.bool_)
-    return out
+    return _shrink_ids(out, dims)
 
 
 def estimate_pad_dims(

@@ -128,6 +128,7 @@ class DataProvider:
         batch_size: Optional[int] = None,
         prefetch_workers: int = 2,
         prefetch_depth: int = 4,
+        transform=None,
     ) -> Iterator[dict[str, np.ndarray]]:
         """Infinite padded-batch iterator. With prefetch_workers > 0, batches
         are built by background threads ahead of consumption (the native graph
@@ -139,10 +140,14 @@ class DataProvider:
         batch_size = batch_size or self.batch_size
         sels = self._selections(split, batch_size)
 
+        def build(sel):
+            b = self._build_padded(sel)
+            return transform(b) if transform is not None else b
+
         if prefetch_workers <= 0:
             def generator():
                 for sel in sels:
-                    yield self._build_padded(sel)
+                    yield build(sel)
 
             return generator()
 
@@ -151,12 +156,11 @@ class DataProvider:
         def generator():
             with ThreadPoolExecutor(max_workers=prefetch_workers) as pool:
                 pending = [
-                    pool.submit(self._build_padded, next(sels))
-                    for _ in range(prefetch_depth)
+                    pool.submit(build, next(sels)) for _ in range(prefetch_depth)
                 ]
                 while True:
                     fut = pending.pop(0)
-                    pending.append(pool.submit(self._build_padded, next(sels)))
+                    pending.append(pool.submit(build, next(sels)))
                     yield fut.result()
 
         return generator()

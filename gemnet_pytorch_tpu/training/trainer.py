@@ -36,6 +36,79 @@ from ..models.gemnet import GemNet, energy_and_forces
 
 SHARED_INT_LAYERS = ("mlp_rbf3", "mlp_cbf3", "mlp_rbf_h")
 SHARED_QUAD_LAYERS = ("mlp_rbf4", "mlp_cbf4", "mlp_sbf4")
+MOL_METRICS = frozenset({"loss", "energy_mae", "energy_nll", "energy_var"})
+
+# batch keys the jitted step never reads — skipped at host->device transfer
+# (kept in host batches for the dense-formulation ops and diagnostics)
+UNUSED_DEVICE_KEYS = frozenset({
+    "Kidx3", "Kidx4", "kmax3_static", "kmax4_static", "id4_expand_db",
+    "intm_ca_mask", "n_mol", "N",
+})
+
+
+def device_batch(batch):
+    """Filter + upload a host batch for the jitted train/eval step."""
+    return {
+        k: jnp.asarray(v) for k, v in batch.items() if k not in UNUSED_DEVICE_KEYS
+    }
+
+
+class BatchPacker:
+    """Packs a padded host batch into ONE contiguous uint8 buffer and unpacks
+    it inside jit.
+
+    Per-step host->device traffic over 40 separate arrays pays one transfer
+    round-trip each (painful over the axon TPU tunnel, noticeable even on
+    PCIe hosts); a single buffer pays one. Packing itself is a ~7 MB memcpy
+    that runs in the provider's prefetch threads. The layout is frozen on
+    first use (shapes are static per PadDims).
+    """
+
+    def __init__(self):
+        self.layout = None  # list[(key, offset, nbytes, shape, dtype)]
+        self.total = 0
+
+    def _freeze(self, batch):
+        layout = []
+        off = 0
+        for k in sorted(batch):
+            if k in UNUSED_DEVICE_KEYS:
+                continue
+            v = batch[k]
+            nb = v.nbytes
+            layout.append((k, off, nb, v.shape, v.dtype))
+            off += nb
+            off = (off + 3) // 4 * 4  # 4-byte alignment for bitcasts
+        self.layout = layout
+        self.total = off
+
+    def pack(self, batch) -> "np.ndarray":
+        import numpy as np
+
+        if self.layout is None:
+            self._freeze(batch)
+        buf = np.zeros(self.total, np.uint8)
+        for k, off, nb, shape, dtype in self.layout:
+            v = batch[k]
+            assert v.shape == shape and v.dtype == dtype, (
+                f"batch layout changed for {k}: {v.shape}/{v.dtype} vs {shape}/{dtype}"
+            )
+            buf[off : off + nb] = np.ascontiguousarray(v).view(np.uint8).ravel()
+        return buf
+
+    def unpack(self, packed):
+        """jit-side: one device buffer -> batch dict (bitcast slices)."""
+        out = {}
+        for k, off, nb, shape, dtype in self.layout:
+            raw = jax.lax.dynamic_slice(packed, (off,), (nb,))
+            np_dtype = jnp.dtype(dtype)
+            if np_dtype == jnp.bool_:
+                arr = raw.astype(jnp.bool_)
+            else:
+                item = np_dtype.itemsize
+                arr = jax.lax.bitcast_convert_type(raw.reshape(-1, item), np_dtype)
+            out[k] = arr.reshape(shape)
+        return out
 
 
 @flax.struct.dataclass
@@ -45,6 +118,10 @@ class TrainState:
     scales: Any
     opt_state: Any
     ema_params: Any
+    # device-side metric accumulators: name -> [weighted_sum, weight]; drained
+    # host-side once per evaluation interval so no step ever blocks on a
+    # device->host readback (critical over the axon TPU tunnel)
+    metric_acc: Any = None
 
 
 # ------------------------------------------------------------------ optimizer
@@ -244,6 +321,7 @@ class Trainer:
         self.optimizer: Optional[optax.GradientTransformation] = None
         self._train_step = None
         self._eval_step = None
+        self.packer = BatchPacker()
 
     # -- state management --
     def init_state(self, variables) -> TrainState:
@@ -257,6 +335,9 @@ class Trainer:
             scales=scales,
             opt_state=opt_state,
             ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            metric_acc={
+                k: jnp.zeros(2, jnp.float32) for k in self.tracked_metrics
+            },
         )
 
     # -- prediction/loss --
@@ -331,6 +412,8 @@ class Trainer:
 
         @jax.jit
         def step(state: TrainState, batch, lr_scale):
+            if not isinstance(batch, dict):
+                batch = self.packer.unpack(batch)
             grad_fn = jax.value_and_grad(
                 lambda p: self._loss_and_metrics(p, state.scales, batch), has_aux=True
             )
@@ -345,11 +428,16 @@ class Trainer:
                 state.ema_params,
                 params,
             )
+            acc = dict(state.metric_acc)
+            for key, val in metrics.items():
+                w = counts["n_mol"] if key in MOL_METRICS else counts["n_atoms"]
+                acc[key] = acc[key] + jnp.stack([val * w, w])
             new_state = state.replace(
                 step=state.step + 1,
                 params=params,
                 opt_state=opt_state,
                 ema_params=ema,
+                metric_acc=acc,
             )
             return new_state, metrics, counts
 
@@ -362,6 +450,8 @@ class Trainer:
 
         @jax.jit
         def step(params, scales, batch):
+            if not isinstance(batch, dict):
+                batch = self.packer.unpack(batch)
             _, (metrics, counts) = self._loss_and_metrics(params, scales, batch)
             return metrics, counts
 
@@ -376,16 +466,43 @@ class Trainer:
         return predict
 
     # -- host-side convenience mirroring the reference API --
-    def train_on_batch(self, state: TrainState, batch, lr_scale, metrics):
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    def train_on_batch(self, state: TrainState, batch, lr_scale, metrics=None):
+        """One async train step; metrics accumulate on device. Pass a Metrics
+        instance to ALSO drain immediately (host sync — slow over the tunnel;
+        prefer drain_metrics once per interval). `batch` may be a host dict or
+        a pre-packed uint8 buffer (BatchPacker / provider transform)."""
+        import numpy as np
+
+        if isinstance(batch, np.ndarray):
+            jbatch = jnp.asarray(batch)
+        else:
+            jbatch = jnp.asarray(self.packer.pack(batch))
         state, step_metrics, counts = self.train_step_fn()(
             state, jbatch, jnp.asarray(lr_scale, jnp.float32)
         )
-        self._update_metrics(metrics, step_metrics, counts)
-        return state, float(step_metrics["loss"])
+        if metrics is not None:
+            self._update_metrics(metrics, step_metrics, counts)
+            return state, float(step_metrics["loss"])
+        return state, step_metrics["loss"]
+
+    def drain_metrics(self, state: TrainState, metrics) -> TrainState:
+        """Move the device-side accumulators into a host Metrics object and
+        reset them (single host sync per evaluation interval)."""
+        acc = jax.device_get(state.metric_acc)
+        for key, (wsum, w) in acc.items():
+            if w > 0:
+                metrics.update_state(1, **{key: wsum / w})
+        return state.replace(
+            metric_acc={k: jnp.zeros(2, jnp.float32) for k in self.tracked_metrics}
+        )
 
     def test_on_batch(self, state: TrainState, batch, metrics, use_ema=False):
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        import numpy as np
+
+        if isinstance(batch, np.ndarray):
+            jbatch = jnp.asarray(batch)
+        else:
+            jbatch = jnp.asarray(self.packer.pack(batch))
         params = state.ema_params if use_ema else state.params
         step_metrics, counts = self.eval_step_fn()(params, state.scales, jbatch)
         self._update_metrics(metrics, step_metrics, counts)

@@ -119,13 +119,14 @@ def main():
         container, num_train, num_val, tcfg.batch_size,
         seed=tcfg.data_seed, shuffle=True, random_split=True,
     )
-    train_iter = provider.get_dataset("train")
-    val_iter = provider.get_dataset("val")
+    train_iter = None  # created after the trainer exists (packed batches)
+    val_iter = None
     logging.info("pad dims: %s", provider.pad_dims)
 
     # ---- model/trainer ----
     model = make_model(mcfg)
-    sample = {k: jnp.asarray(v) for k, v in next(train_iter).items()}
+    sample_iter = provider.get_dataset("train", prefetch_workers=0)
+    sample = {k: jnp.asarray(v) for k, v in next(sample_iter).items()}
     variables = dict(jax.jit(model.init)(rng_key, sample))
     if mcfg.scale_file and os.path.exists(mcfg.scale_file):
         variables["scale_factors"] = load_scales_from_json(
@@ -137,6 +138,9 @@ def main():
 
     trainer = Trainer(model, tcfg)
     state = trainer.init_state(variables)
+    # batches packed into single buffers inside the prefetch threads
+    train_iter = provider.get_dataset("train", transform=trainer.packer.pack)
+    val_iter = provider.get_dataset("val", transform=trainer.packer.pack)
     plateau = PlateauState(
         factor=tcfg.decay_factor, patience=tcfg.decay_patience,
         cooldown=tcfg.decay_cooldown,
@@ -160,9 +164,8 @@ def main():
     steps_per_epoch = int(np.ceil(num_train / tcfg.batch_size))
     t_start, t_steps = None, 0
     for step in range(step_init + 1, tcfg.num_steps + 1):
-        state, loss = trainer.train_on_batch(
-            state, next(train_iter), plateau.lr_scale, train_metrics
-        )
+        # async step: metrics accumulate on device, drained at eval intervals
+        state, _ = trainer.train_on_batch(state, next(train_iter), plateau.lr_scale)
         if step == step_init + 2:
             t_start, t_steps = time.perf_counter(), step  # skip compile step
 
@@ -180,6 +183,7 @@ def main():
                     "seconds_per_step=%.4f min_per_epoch=%.2f",
                     sps, sps * steps_per_epoch / 60,
                 )
+            state = trainer.drain_metrics(state, train_metrics)
             # EMA-swapped validation (reference train_seml.py:345-356)
             for _ in range(int(np.ceil(num_val / tcfg.batch_size))):
                 trainer.test_on_batch(state, next(val_iter), val_metrics, use_ema=True)
