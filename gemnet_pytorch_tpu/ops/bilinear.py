@@ -66,3 +66,30 @@ def bilinear(
     rbf_w1_sum_k = jnp.einsum("eis,sem->eim", rbf_W1, sum_k)
     # contract (I, M) with weight (M, I, O)
     return jnp.einsum("eim,mio->eo", rbf_w1_sum_k, weight)
+
+
+def hadamard(
+    rbf_W1: jnp.ndarray,
+    sph_rows: jnp.ndarray,
+    m: jnp.ndarray,
+    id_reduce: jnp.ndarray,
+    row_splits: jnp.ndarray,
+    weight: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    implementation: str = "auto",
+) -> jnp.ndarray:
+    """Efficient hadamard + summation — reformulation of the reference's
+    EfficientInteractionHadamard (efficient.py:60-117; defined there but
+    unused by the released models, kept for capability parity).
+
+    weight: (emb, 1, interm);  out[e, emb] = Σ_i weight[emb, 0, i] ·
+    Σ_s rbf_W1[e, i, s] · sum_k[s, e, emb].
+    """
+    n_edges = rbf_W1.shape[0]
+    if mask is not None:
+        m = m * mask.astype(m.dtype)[:, None]
+    sum_k = segment_outer_sum(
+        sph_rows, m, id_reduce, row_splits, n_edges, implementation
+    )  # (S, E, M)
+    inner = jnp.einsum("eis,sem->eim", rbf_W1, sum_k)
+    return jnp.einsum("eim,mi->em", inner, weight[:, 0, :])

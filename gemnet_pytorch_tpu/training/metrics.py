@@ -116,6 +116,19 @@ class BestMetrics:
         return int(self.state["step"])
 
 
+def make_writer(log_dir: str, prefer_tensorboard: bool = True):
+    """TensorBoard SummaryWriter when available (reference train_seml.py:191),
+    else the dependency-free JSONL writer."""
+    if prefer_tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(log_dir)
+        except Exception:  # tensorboard not installed/usable
+            pass
+    return JsonlWriter(os.path.join(log_dir, "metrics.jsonl"))
+
+
 class JsonlWriter:
     """Minimal scalar writer: one JSON line per scalar (stands in for the
     reference's TensorBoard SummaryWriter; train_seml.py:191)."""

@@ -1,0 +1,113 @@
+"""Checkpoint-compat layer: TF name mapping resolves against real variable
+trees; hadamard op matches the reference's EfficientInteractionHadamard."""
+
+import numpy as np
+import pytest
+
+from conftest import add_reference_shims
+
+
+def _variables(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.data.graph import build_graph
+    from gemnet_pytorch_tpu.data.padding import PadDims, _scale_graph_dims, pad_batch
+    from gemnet_pytorch_tpu.data.synthetic import random_molecule
+    from gemnet_pytorch_tpu.models import make_model
+
+    rng = np.random.default_rng(0)
+    Z, R = random_molecule(rng, 8)
+    g = build_graph(R, np.array([8]), cfg.cutoff, cfg.int_cutoff,
+                    triplets_only=cfg.triplets_only)
+    dims = PadDims(
+        n_mol=1, n_atoms=16, n_edges=128, n_triplets=512, kmax3=8,
+        n_int_edges=0 if cfg.triplets_only else 64,
+        n_intm=0 if cfg.triplets_only else 512,
+        n_quads=0 if cfg.triplets_only else 512,
+        kmax4=0 if cfg.triplets_only else 8,
+    ).grow_to(_scale_graph_dims(g, 1.1), 1, 8)
+    batch = {k: jnp.asarray(v) for k, v in
+             pad_batch(g, Z, R, dims, triplets_only=cfg.triplets_only).items()}
+    model = make_model(cfg)
+    return jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+
+@pytest.mark.parametrize("triplets_only,direct_forces",
+                         [(False, True), (True, False)])
+def test_tf_name_mapping_resolves(triplets_only, direct_forces):
+    from gemnet_pytorch_tpu.compat import tf_variable_names
+    from gemnet_pytorch_tpu.config import ModelConfig
+    from gemnet_pytorch_tpu.models.scaling import scales_to_dict
+
+    cfg = ModelConfig(
+        num_spherical=3, num_radial=3, num_blocks=2, emb_size_atom=16,
+        emb_size_edge=16, emb_size_trip=8, emb_size_quad=4, emb_size_rbf=4,
+        emb_size_cbf=4, emb_size_sbf=4, emb_size_bil_quad=4, emb_size_bil_trip=8,
+        triplets_only=triplets_only, direct_forces=direct_forces,
+    )
+    variables = _variables(cfg)
+    params = variables["params"]
+    scales = scales_to_dict(variables["scale_factors"])
+    mapping = tf_variable_names(cfg)
+    assert len(mapping) > 40
+    for tf_name, (coll, target, _) in mapping.items():
+        if coll == "scales":
+            assert target in scales, (tf_name, target)
+            continue
+        node = params
+        for part in target:
+            assert part in node, (tf_name, target, list(node))
+            node = node[part]
+
+
+def test_tf_loader_gated_without_tf():
+    from gemnet_pytorch_tpu.compat import load_tf_checkpoint
+    from gemnet_pytorch_tpu.config import ModelConfig
+
+    try:
+        import tensorflow  # noqa: F401
+
+        pytest.skip("tensorflow installed; gate not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="tensorflow"):
+        load_tf_checkpoint("/nonexistent", ModelConfig(), {"params": {}})
+
+
+def test_hadamard_matches_reference():
+    add_reference_shims()
+    import torch
+
+    from gemnet.model.layers.efficient import EfficientInteractionHadamard as RefHad
+    from gemnet_pytorch_tpu.ops.bilinear import hadamard
+
+    rng = np.random.default_rng(2)
+    n_edges, S, emb, interm = 12, 5, 6, 4
+    n_rows = 18
+    id_reduce = np.sort(rng.integers(0, n_edges, size=n_rows))
+    kidx = np.zeros(n_rows, np.int64)
+    for e in np.unique(id_reduce):
+        sel = np.nonzero(id_reduce == e)[0]
+        kidx[sel] = np.arange(len(sel))
+    kmax = int(kidx.max()) + 1
+    rbf_W1 = rng.normal(size=(n_edges, interm, S)).astype(np.float32)
+    sph_rows = rng.normal(size=(n_rows, S)).astype(np.float32)
+    sph_dense = np.zeros((n_edges, kmax, S), np.float32)
+    sph_dense[id_reduce, kidx] = sph_rows
+    m = rng.normal(size=(n_rows, emb)).astype(np.float32)
+
+    torch.manual_seed(0)
+    ref = RefHad(interm, emb)
+    ref_y = ref(
+        (torch.tensor(rbf_W1), torch.tensor(np.transpose(sph_dense, (0, 2, 1)))),
+        torch.tensor(m), torch.tensor(id_reduce), torch.tensor(kidx),
+    ).detach().numpy()
+
+    splits = np.searchsorted(id_reduce, np.arange(0, n_edges + 32, 32)).astype(np.int32)
+    y = np.asarray(
+        hadamard(rbf_W1, sph_rows, m, id_reduce, splits,
+                 ref.weight.detach().numpy(), mask=np.ones(n_rows, bool),
+                 implementation="xla")
+    )
+    np.testing.assert_allclose(y, ref_y, rtol=1e-4, atol=1e-5)

@@ -60,7 +60,6 @@ def main():
     from gemnet_pytorch_tpu.models.scaling import load_scales_from_json
     from gemnet_pytorch_tpu.training import (
         BestMetrics,
-        JsonlWriter,
         Metrics,
         PlateauState,
         Trainer,
@@ -70,6 +69,10 @@ def main():
     )
 
     config = load_yaml_config(args.config) if os.path.exists(args.config) else {}
+    if os.environ.get("GEMNET_SWEEP_OVERRIDES"):
+        import json as _json
+
+        config.update(_json.loads(os.environ["GEMNET_SWEEP_OVERRIDES"]))
     for key in ("num_steps", "dataset", "val_dataset", "batch_size", "logdir",
                 "restart", "evaluation_interval", "save_interval"):
         val = getattr(args, key.replace("-", "_"), None)
@@ -146,7 +149,9 @@ def main():
         cooldown=tcfg.decay_cooldown,
     )
 
-    writer = JsonlWriter(os.path.join(log_dir, "metrics.jsonl"))
+    from gemnet_pytorch_tpu.training.metrics import make_writer
+
+    writer = make_writer(log_dir)
     train_metrics = Metrics("train", trainer.tracked_metrics)
     val_metrics = Metrics("val", trainer.tracked_metrics)
     best_metrics = BestMetrics(best_dir, val_metrics, assert_exist=False)
