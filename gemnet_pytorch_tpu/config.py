@@ -50,9 +50,11 @@ class ModelConfig:
     output_init: str = "HeOrthogonal"
     activation: str = "swish"
     scale_file: Optional[str] = None
-    # TPU execution knob (no reference counterpart): "auto" uses the Pallas
-    # fused segment kernels on TPU and the XLA fallback on CPU
+    # TPU execution knobs (no reference counterpart): "auto" uses the Pallas
+    # fused segment kernels on TPU and the XLA fallback on CPU; ep_axis names
+    # the mesh axis for edge-partitioned execution (parallel/ep.py)
     bilinear_implementation: str = "auto"
+    ep_axis: Optional[str] = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "ModelConfig":

@@ -200,6 +200,7 @@ class GemNet(nn.Module):
                 block_nr=i + 1,
                 activation=cfg.activation,
                 implementation=cfg.bilinear_implementation,
+                ep_axis=cfg.ep_axis,
                 name=f"int_blocks_{i}",
             )(h, m, basis, indices, masks)
             E, F = OutputBlock(

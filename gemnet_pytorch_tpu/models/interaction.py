@@ -37,6 +37,7 @@ class QuadrupletInteraction(nn.Module):
     activation: Optional[str] = None
     scale_prefix: str = "QuadInteraction_1"
     implementation: str = "auto"
+    ep_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, m, rbf, cbf, sbf, quad_row_splits, id_swap, id4_reduce_ca,
@@ -66,6 +67,10 @@ class QuadrupletInteraction(nn.Module):
             implementation=self.implementation, name="mlp_sbf",
         )(rbf_W1, sph_rows, x_db, id4_reduce_ca, quad_row_splits,
           mask=masks["quad"])
+        if self.ep_axis:
+            from ..parallel.ep import psum_replicated_grad
+
+            x = psum_replicated_grad(x, self.ep_axis)
         x = ScalingFactor(self.scale_prefix + "_sum_sbf", name="scale_sbf_sum")(
             x_db, x, mask_ref=masks["quad"], mask_y=masks["edge"]
         )
@@ -87,6 +92,7 @@ class TripletInteraction(nn.Module):
     activation: Optional[str] = None
     scale_prefix: str = "TripInteraction_1"
     implementation: str = "auto"
+    ep_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, m, rbf3, cbf3, trip_row_splits, id_swap, id3_expand_ba,
@@ -107,6 +113,10 @@ class TripletInteraction(nn.Module):
             implementation=self.implementation, name="mlp_cbf",
         )(rbf_W1, sph_rows, x_ba, id3_reduce_ca, trip_row_splits,
           mask=masks["trip"])
+        if self.ep_axis:
+            from ..parallel.ep import psum_replicated_grad
+
+            x = psum_replicated_grad(x, self.ep_axis)
         x = ScalingFactor(self.scale_prefix + "_sum_cbf", name="scale_cbf_sum")(
             x_ba, x, mask_ref=masks["trip"], mask_y=masks["edge"]
         )
@@ -138,6 +148,7 @@ class InteractionBlock(nn.Module):
     block_nr: int = 1
     activation: Optional[str] = None
     implementation: str = "auto"
+    ep_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, h, m, basis, indices, masks):
@@ -151,6 +162,7 @@ class InteractionBlock(nn.Module):
             activation=self.activation,
             scale_prefix=f"TripInteraction_{self.block_nr}",
             implementation=self.implementation,
+            ep_axis=self.ep_axis,
             name="trip_interaction",
         )(
             m, basis["rbf3"], basis["cbf3"], indices["trip_row_splits"],
@@ -166,6 +178,7 @@ class InteractionBlock(nn.Module):
                 activation=self.activation,
                 scale_prefix=f"QuadInteraction_{self.block_nr}",
                 implementation=self.implementation,
+                ep_axis=self.ep_axis,
                 name="quad_interaction",
             )(
                 m, basis["rbf4"], basis["cbf4"], basis["sbf4"],
