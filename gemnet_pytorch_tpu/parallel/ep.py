@@ -17,13 +17,15 @@ atom/edge-level tensors stay replicated:
   spaces, and computes replicated — bitwise identical on every chip, no
   communication.
 
-Gradient correctness: inside shard_map, the transpose of `lax.psum` re-psums
-a replicated cotangent (n_dev× double counting — the same trap documented in
-dp.py). `psum_replicated_grad` pins the backward to identity: the output is
-consumed replicated, so each shard's correct cotangent IS the replicated
-cotangent, and shard_map's own transpose then sums the per-shard (disjoint
-row) contributions into exact global gradients. Verified against the
-single-device model in tests/test_edge_partition.py for values and grads.
+Gradient correctness: the partitioned model mixes replicated computation
+(identical on every shard) with varying row computation — a manual
+(check_vma=False) shard_map transpose cannot tell their cotangents apart and
+over-counts the replicated paths n×. Running the shard_map with
+`check_vma=True` lets JAX's varying-manual-axes tracking transpose both
+correctly; with that, plain `lax.psum` gives EXACT energies, exact forces on
+both force paths (direct head and the inner -dE/dR jax.grad), and exact
+training gradients when differentiated outside the shard_map — all verified
+against the single-device model in tests/test_edge_partition.py.
 """
 
 from __future__ import annotations
@@ -50,21 +52,11 @@ QUAD_ROW_KEYS = (
 )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def psum_replicated_grad(x, axis_name: str):
+    """Cross-shard sum of the bilinear outputs. Plain lax.psum: under
+    check_vma=True the AD through it is exact for this mixed
+    replicated/varying program (see module docstring)."""
     return jax.lax.psum(x, axis_name)
-
-
-def _prg_fwd(x, axis_name):
-    return psum_replicated_grad(x, axis_name), None
-
-
-def _prg_bwd(axis_name, res, cot):
-    # output consumed replicated -> per-shard cotangent is the replicated one
-    return (cot,)
-
-
-psum_replicated_grad.defvjp(_prg_fwd, _prg_bwd)
 
 
 def _split_rows(ids, mask, extras, n_shards, n_edges_pad):
@@ -151,11 +143,39 @@ def make_ep_apply(model, mesh: Mesh, with_forces: bool = True):
     def apply(variables, batch):
         sharded = jax.shard_map(
             device_fn, mesh=mesh, in_specs=(P(), ep_in_specs(batch)),
-            out_specs=(P(), P()), check_vma=False,
+            out_specs=(P(), P()), check_vma=True,
         )
         return sharded(variables, batch)
 
     return jax.jit(apply)
+
+
+def make_ep_loss_and_grad(model, mesh: Mesh, loss_fn):
+    """(variables, partitioned_batch) -> (loss, grads) with EXACT gradients:
+    the jax.grad sits OUTSIDE the vma-tracked shard_map.
+
+    loss_fn(E, F, local_batch) -> scalar (replicated inputs).
+    """
+    from ..models.gemnet import energy_and_forces, make_model
+
+    ep_model = make_model(dataclasses.replace(model.config, ep_axis=EP_AXIS))
+    row_keys = set(TRIP_ROW_KEYS) | set(QUAD_ROW_KEYS) | {
+        "trip_row_splits", "quad_row_splits",
+    }
+
+    def device_loss(variables, batch):
+        local = {k: (v[0] if k in row_keys else v) for k, v in batch.items()}
+        E, F, _ = energy_and_forces(ep_model, variables, local)
+        return loss_fn(E, F, local)
+
+    def loss_and_grad(variables, batch):
+        sharded = jax.shard_map(
+            device_loss, mesh=mesh, in_specs=(P(), ep_in_specs(batch)),
+            out_specs=P(), check_vma=True,
+        )
+        return jax.value_and_grad(lambda v: sharded(v, batch))(variables)
+
+    return jax.jit(loss_and_grad)
 
 
 def shard_ep_batch(batch: dict, mesh: Mesh) -> dict:

@@ -1,5 +1,6 @@
-"""Edge-partitioned execution (parallel/ep.py): forward values and training
-gradients must match the single-device model exactly."""
+"""Edge-partitioned execution (parallel/ep.py): forward values, both force
+paths, and training gradients must match the single-device model exactly
+(vma-tracked shard_map)."""
 
 import numpy as np
 import pytest
@@ -47,6 +48,7 @@ def _setup(triplets_only=False):
 @pytest.mark.parametrize("n_shards", [2, 4])
 @pytest.mark.parametrize("triplets_only", [False, True])
 def test_ep_forward_matches_single_device(n_shards, triplets_only):
+    # direct-force model: E and F both edge-level exact under the psum
     import jax
     import jax.numpy as jnp
 
@@ -71,25 +73,44 @@ def test_ep_forward_matches_single_device(n_shards, triplets_only):
     np.testing.assert_allclose(np.asarray(F), np.asarray(F_ref), rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.xfail(
-    reason="mixed replicated/partitioned AD: replicated-path cotangents are "
-    "summed n_shards times by the manual shard_map transpose; exact training "
-    "gradients need vma-tracked outer differentiation (PARALLEL.md rung 2)",
-    strict=False,
-)
-def test_ep_training_grads_match_single_device():
-    """Loss gradients (params) through the ep model == single-device grads."""
+def test_ep_autograd_forces_match_single_device():
+    """-dE/dR forces through the partitioned model (inner jax.grad under the
+    vma-tracked shard_map) == single-device forces."""
     import dataclasses
 
     import jax
     import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
 
     from gemnet_pytorch_tpu.models import energy_and_forces, make_model
     from gemnet_pytorch_tpu.parallel import make_mesh
     from gemnet_pytorch_tpu.parallel.ep import (
-        EP_AXIS, ep_in_specs, partition_batch, shard_ep_batch,
-        TRIP_ROW_KEYS, QUAD_ROW_KEYS,
+        make_ep_apply, partition_batch, shard_ep_batch,
+    )
+
+    model, variables, batch, jbatch = _setup(triplets_only=False)
+    model = make_model(dataclasses.replace(model.config, direct_forces=False))
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(0), jbatch))
+    E_ref, F_ref, _ = energy_and_forces(model, variables, jbatch)
+
+    mesh = make_mesh(2, axis_names=("ep",))
+    part = partition_batch(batch, 2)
+    sharded = shard_ep_batch(part, mesh)
+    apply_fn = make_ep_apply(model, mesh)
+    E, F = apply_fn(variables, sharded)
+    np.testing.assert_allclose(np.asarray(E), np.asarray(E_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(F), np.asarray(F_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_ep_training_grads_match_single_device():
+    """Loss gradients (params) through the ep model == single-device grads
+    (jax.grad outside the vma-tracked shard_map)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.models import energy_and_forces
+    from gemnet_pytorch_tpu.parallel import make_mesh
+    from gemnet_pytorch_tpu.parallel.ep import (
+        make_ep_loss_and_grad, partition_batch, shard_ep_batch,
     )
 
     model, variables, batch, jbatch = _setup(triplets_only=False)
@@ -113,16 +134,8 @@ def test_ep_training_grads_match_single_device():
     mesh = make_mesh(n_shards, axis_names=("ep",))
     part = partition_batch(batch, n_shards)
     sharded = shard_ep_batch(part, mesh)
-    ep_model = make_model(dataclasses.replace(model.config, ep_axis=EP_AXIS))
-    row_keys = set(TRIP_ROW_KEYS) | set(QUAD_ROW_KEYS) | {
-        "trip_row_splits", "quad_row_splits",
-    }
 
-    def device_loss(params, b):
-        local = {k: (v[0] if k in row_keys else v) for k, v in b.items()}
-        E, F, _ = energy_and_forces(
-            ep_model, {"params": params, "scale_factors": scales}, local
-        )
+    def loss_fn(E, F, local):
         m = local["mol_mask"].astype(jnp.float32)[:, None]
         am = local["atom_mask"].astype(jnp.float32)[:, None]
         return (
@@ -130,16 +143,9 @@ def test_ep_training_grads_match_single_device():
             + jnp.sum(jnp.abs(F[:, 0, :] - local["F"]) * am)
         )
 
-    def grads_fn(params, b):
-        return jax.grad(device_loss)(params, b)
-
-    sharded_grads = jax.jit(
-        jax.shard_map(
-            grads_fn, mesh=mesh, in_specs=(P(), ep_in_specs(part)),
-            out_specs=P(), check_vma=False,
-        )
-    )
-    g_ep = sharded_grads(params, sharded)
+    lg = make_ep_loss_and_grad(model, mesh, loss_fn)
+    _, g_vars = lg({"params": params, "scale_factors": scales}, sharded)
+    g_ep = g_vars["params"]
 
     flat_ref, _ = jax.tree_util.tree_flatten_with_path(g_ref)
     flat_ep = jax.tree_util.tree_leaves(g_ep)
