@@ -25,10 +25,13 @@ from ..training.trainer import Trainer, TrainState
 AXIS = "dp"
 
 
-def stack_shards(batches: list[dict]) -> dict:
-    """Stack per-device batches into leading-device-axis arrays."""
-    keys = batches[0].keys()
-    return {k: np.stack([b[k] for b in batches]) for k in keys}
+def stack_shards(batches):
+    """Stack per-device batches (dicts or packed buffers) into
+    leading-device-axis arrays."""
+    if isinstance(batches[0], dict):
+        keys = batches[0].keys()
+        return {k: np.stack([b[k] for b in batches]) for k in keys}
+    return np.stack(batches)
 
 
 def make_dp_train_step(trainer: Trainer, mesh: Mesh):
@@ -41,9 +44,13 @@ def make_dp_train_step(trainer: Trainer, mesh: Mesh):
     optimizer = trainer.optimizer
     ema_decay = trainer.cfg.ema_decay
 
-    def device_step(state: TrainState, batch: dict, lr_scale):
-        # shard_map passes the per-device slice with the leading axis kept
-        batch = {k: v[0] for k, v in batch.items()}
+    def device_step(state: TrainState, batch, lr_scale):
+        # shard_map passes the per-device slice with the leading axis kept;
+        # batches may arrive packed (BatchPacker) or as dicts
+        if isinstance(batch, dict):
+            batch = {k: v[0] for k, v in batch.items()}
+        else:
+            batch = trainer.packer.unpack(batch[0])
         grad_fn = jax.value_and_grad(
             lambda p: trainer._loss_and_metrics(
                 p, state.scales, batch, axis_name=AXIS
@@ -60,8 +67,15 @@ def make_dp_train_step(trainer: Trainer, mesh: Mesh):
         ema = jax.tree_util.tree_map(
             lambda s, p: s - (1.0 - ema_decay) * (s - p), state.ema_params, params
         )
+        from ..training.trainer import MOL_METRICS
+
+        acc = dict(state.metric_acc)
+        for key, val in metrics.items():
+            w = counts["n_mol"] if key in MOL_METRICS else counts["n_atoms"]
+            acc[key] = acc[key] + jnp.stack([val * w, w])
         new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state, ema_params=ema
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema, metric_acc=acc,
         )
         return new_state, metrics, counts
 
@@ -93,6 +107,10 @@ def make_dp_eval_step(trainer: Trainer, mesh: Mesh):
     return jax.jit(sharded)
 
 
-def shard_batch_to_mesh(stacked: dict, mesh: Mesh) -> dict:
+def shard_batch_to_mesh(stacked, mesh: Mesh):
     sharding = NamedSharding(mesh, P(AXIS))
-    return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in stacked.items()}
+    if isinstance(stacked, dict):
+        return {
+            k: jax.device_put(jnp.asarray(v), sharding) for k, v in stacked.items()
+        }
+    return jax.device_put(jnp.asarray(stacked), sharding)

@@ -67,6 +67,8 @@ class BatchPacker:
     def __init__(self):
         self.layout = None  # list[(key, offset, nbytes, shape, dtype)]
         self.total = 0
+        self.version = 0  # bumped on re-freeze (pad-dims growth); consumers
+        # of `unpack` must rebuild their jitted functions when stale
 
     def _freeze(self, batch):
         layout = []
@@ -87,12 +89,17 @@ class BatchPacker:
 
         if self.layout is None:
             self._freeze(batch)
+        if any(
+            batch[k].shape != shape or batch[k].dtype != dtype
+            for k, _, _, shape, dtype in self.layout
+        ):
+            # pad dims grew (rare outlier batch): re-freeze; jitted steps
+            # rebuild via the version check and recompile once
+            self._freeze(batch)
+            self.version += 1
         buf = np.zeros(self.total, np.uint8)
         for k, off, nb, shape, dtype in self.layout:
             v = batch[k]
-            assert v.shape == shape and v.dtype == dtype, (
-                f"batch layout changed for {k}: {v.shape}/{v.dtype} vs {shape}/{dtype}"
-            )
             buf[off : off + nb] = np.ascontiguousarray(v).view(np.uint8).ravel()
         return buf
 
@@ -321,6 +328,8 @@ class Trainer:
         self.optimizer: Optional[optax.GradientTransformation] = None
         self._train_step = None
         self._eval_step = None
+        self._step_version = -1
+        self._eval_version = -1
         self.packer = BatchPacker()
 
     # -- state management --
@@ -404,8 +413,10 @@ class Trainer:
 
     # -- steps --
     def train_step_fn(self):
-        if self._train_step is not None:
+        if self._train_step is not None and self._step_version == self.packer.version:
             return self._train_step
+        self._train_step = None
+        self._step_version = self.packer.version
         assert self.optimizer is not None, "call init_state first"
         optimizer = self.optimizer
         ema_decay = self.cfg.ema_decay
@@ -445,8 +456,10 @@ class Trainer:
         return step
 
     def eval_step_fn(self):
-        if self._eval_step is not None:
+        if self._eval_step is not None and self._eval_version == self.packer.version:
             return self._eval_step
+        self._eval_step = None
+        self._eval_version = self.packer.version
 
         @jax.jit
         def step(params, scales, batch):

@@ -39,6 +39,8 @@ def parse_args():
     p.add_argument("--logdir", default=None)
     p.add_argument("--restart", default=None)
     p.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel over N devices (0 = single device)")
     p.add_argument("--synthetic-molecules", type=int, default=512)
     return p.parse_args()
 
@@ -144,6 +146,14 @@ def main():
     # batches packed into single buffers inside the prefetch threads
     train_iter = provider.get_dataset("train", transform=trainer.packer.pack)
     val_iter = provider.get_dataset("val", transform=trainer.packer.pack)
+    dp_step = None
+    if args.dp:
+        from gemnet_pytorch_tpu.parallel import (
+            make_dp_train_step, make_mesh, shard_batch_to_mesh, stack_shards,
+        )
+
+        mesh = make_mesh(args.dp)
+        logging.info("data parallel over %d devices: %s", args.dp, mesh)
     plateau = PlateauState(
         factor=tcfg.decay_factor, patience=tcfg.decay_patience,
         cooldown=tcfg.decay_cooldown,
@@ -170,7 +180,15 @@ def main():
     t_start, t_steps = None, 0
     for step in range(step_init + 1, tcfg.num_steps + 1):
         # async step: metrics accumulate on device, drained at eval intervals
-        state, _ = trainer.train_on_batch(state, next(train_iter), plateau.lr_scale)
+        if args.dp:
+            if dp_step is None:
+                dp_step = make_dp_train_step(trainer, mesh)
+            stacked = shard_batch_to_mesh(
+                stack_shards([next(train_iter) for _ in range(args.dp)]), mesh
+            )
+            state, _, _ = dp_step(state, stacked, jnp.asarray(plateau.lr_scale))
+        else:
+            state, _ = trainer.train_on_batch(state, next(train_iter), plateau.lr_scale)
         if step == step_init + 2:
             t_start, t_steps = time.perf_counter(), step  # skip compile step
 
