@@ -1,0 +1,80 @@
+"""Coverage for provider splits and metrics plumbing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gemnet_pytorch_tpu.data import DataContainer, DataProvider
+from gemnet_pytorch_tpu.training.metrics import (
+    BestMetrics, JsonlWriter, MeanMetric, Metrics,
+)
+
+
+def test_save_and_reload_split(synthetic_npz, tmp_path):
+    c = DataContainer(synthetic_npz, cutoff=5.0, int_cutoff=10.0, triplets_only=True)
+    p = DataProvider(c, ntrain=40, nval=12, batch_size=4, seed=3,
+                     random_split=True, pad_sample_batches=2)
+    path = str(tmp_path / "split.npz")
+    p.save_split(path)
+    p2 = DataProvider(c, ntrain=0, nval=0, batch_size=4, split=path,
+                      pad_sample_batches=2)
+    for key in ("train", "val", "test"):
+        np.testing.assert_array_equal(p2.idx[key], p.idx[key])
+    assert p2.nsamples["train"] == 40
+
+
+def test_manual_split_dict(synthetic_npz):
+    c = DataContainer(synthetic_npz, cutoff=5.0, int_cutoff=10.0, triplets_only=True)
+    split = {"train": np.arange(10), "val": np.arange(10, 14),
+             "test": np.arange(14, 20)}
+    p = DataProvider(c, 0, 0, batch_size=4, split=split, pad_sample_batches=2)
+    assert p.nsamples == {"train": 10, "val": 4, "test": 6}
+
+
+def test_sample_with_replacement(synthetic_npz):
+    c = DataContainer(synthetic_npz, cutoff=5.0, int_cutoff=10.0, triplets_only=True)
+    p = DataProvider(c, ntrain=40, nval=10, batch_size=4, seed=0,
+                     random_split=True, sample_with_replacement=True,
+                     pad_sample_batches=2)
+    # with replacement duplicates are overwhelmingly likely
+    assert len(np.unique(p.idx["train"])) < 40
+
+
+def test_mean_metric_weighted():
+    m = MeanMetric()
+    m.update_state(2.0, 3)
+    m.update_state(4.0, 1)
+    assert m.result() == pytest.approx((2.0 * 3 + 4.0) / 4)
+
+
+def test_metrics_and_best(tmp_path):
+    metrics = Metrics("val", ["loss", "energy_mae"])
+    metrics.update_state(4, loss=1.0, energy_mae=2.0)
+    metrics.update_state(4, loss=3.0, energy_mae=4.0)
+    res = metrics.result()
+    assert res["loss_val"] == pytest.approx(2.0)
+    best = BestMetrics(str(tmp_path), metrics, assert_exist=False)
+    best.initialize()
+    assert best.loss == np.inf
+    best.update(7, metrics)
+    assert best.loss == pytest.approx(2.0)
+    assert best.step == 7
+    # restore from disk
+    best2 = BestMetrics(str(tmp_path), metrics)
+    best2.restore()
+    assert best2.loss == pytest.approx(2.0)
+
+    writer = JsonlWriter(str(tmp_path / "m.jsonl"))
+    metrics.write(writer, 7)
+    best.write(writer, 7)
+    lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert any("loss_val" in l for l in lines)
+    assert any("loss_val_best" in l for l in lines)
+
+
+def test_unknown_metric_key_rejected():
+    metrics = Metrics("train", ["loss"])
+    with pytest.raises(AssertionError):
+        metrics.update_state(1, nonsense=1.0)
