@@ -46,20 +46,20 @@ SMALL = dict(
 
 
 def _reference_model(triplets_only, direct_forces, forces_coupled=False):
+    return _reference_model_kw(
+        triplets_only=triplets_only, direct_forces=direct_forces,
+        forces_coupled=forces_coupled, **SMALL,
+    )
+
+
+def _reference_model_kw(**kwargs):
     add_reference_shims()
     import torch
 
     from gemnet.model.gemnet import GemNet as RefGemNet
 
     torch.manual_seed(1234)
-    return RefGemNet(
-        triplets_only=triplets_only,
-        direct_forces=direct_forces,
-        forces_coupled=forces_coupled,
-        num_targets=1,
-        scale_file=SCALE_FILE,
-        **SMALL,
-    )
+    return RefGemNet(num_targets=1, scale_file=SCALE_FILE, **kwargs)
 
 
 def _batches(synthetic_npz, triplets_only):
@@ -133,8 +133,10 @@ def test_model_parity(synthetic_npz, triplets_only, direct_forces):
         np.testing.assert_allclose(mine_F, ref_F, rtol=5e-4, atol=5e-4)
 
 
-def test_forces_coupled_parity(synthetic_npz):
-    """forces_coupled=True undirected mean coupling (reference gemnet.py:588-592)."""
+def test_forces_coupled_nonextensive_parity(synthetic_npz):
+    """forces_coupled=True undirected mean coupling (reference gemnet.py:588-592)
+    and extensive=False per-molecule mean energies (gemnet.py:583) in one
+    reference comparison."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -142,13 +144,16 @@ def test_forces_coupled_parity(synthetic_npz):
     from gemnet_pytorch_tpu.models import make_model, energy_and_forces
     from gemnet_pytorch_tpu.compat import import_reference_state_dict
 
-    ref_model = _reference_model(True, True, forces_coupled=True)
+    small = dict(SMALL, extensive=False)
+    ref_model = _reference_model_kw(
+        triplets_only=True, direct_forces=True, forces_coupled=True, **small
+    )
     ref_inputs, batch, n_real = _batches(synthetic_npz, True)
     ref_E, ref_F = ref_model(ref_inputs)
 
     cfg = ModelConfig(
         triplets_only=True, direct_forces=True, forces_coupled=True, num_targets=1,
-        **SMALL,
+        **small,
     )
     model = make_model(cfg)
     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}

@@ -224,3 +224,30 @@ def test_mve_training(synthetic_npz):
     state, loss = trainer.train_on_batch(state, next(it), 1.0, metrics)
     assert np.isfinite(loss)
     assert "energy_nll" in metrics.result(False)
+
+
+def test_multitarget_autograd_forces(synthetic_npz):
+    """num_targets=2 with energy-gradient forces: per-target grad loop
+    (reference gemnet.py:600-609)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.config import ModelConfig
+    from gemnet_pytorch_tpu.data import DataContainer, DataProvider
+    from gemnet_pytorch_tpu.models import energy_and_forces, make_model
+
+    mcfg = ModelConfig(
+        num_spherical=3, num_radial=3, num_blocks=1, emb_size_atom=16,
+        emb_size_edge=16, emb_size_trip=8, emb_size_quad=4, emb_size_rbf=4,
+        emb_size_cbf=4, emb_size_sbf=4, emb_size_bil_quad=4, emb_size_bil_trip=8,
+        triplets_only=True, direct_forces=False, num_targets=2,
+    )
+    c = DataContainer(synthetic_npz, cutoff=5.0, int_cutoff=10.0, triplets_only=True)
+    p = DataProvider(c, ntrain=8, nval=4, batch_size=4, seed=0, pad_sample_batches=2)
+    batch = {k: jnp.asarray(v) for k, v in next(p.get_dataset("train", prefetch_workers=0)).items()}
+    model = make_model(mcfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    E, F, _ = energy_and_forces(model, variables, batch)
+    assert E.shape[1] == 2
+    assert F.shape[1:] == (2, 3)
+    assert np.isfinite(np.asarray(E)).all() and np.isfinite(np.asarray(F)).all()
