@@ -8,8 +8,6 @@ name mapping itself is pure and unit-testable without TF.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 from ..config import ModelConfig
 
 

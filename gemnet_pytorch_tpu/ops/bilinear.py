@@ -21,7 +21,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .pallas.segment_outer import segment_outer_sum
-from .segment import scatter_to_padded_dense
 
 
 def down_projection(rbf_env: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:

@@ -13,8 +13,6 @@ the BASELINE.md scaling ladder (1 chip -> 1 host -> N hosts).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -31,8 +31,6 @@ against the single-device model in tests/test_edge_partition.py.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ sqrt(Var_in/Var_out). Results stream to the same scaling_factors.json schema.
 from __future__ import annotations
 
 import logging
-from typing import Callable, Iterator
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp

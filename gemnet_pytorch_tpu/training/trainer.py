@@ -23,7 +23,6 @@ backward — is one jitted function over static padded shapes.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import flax.struct
