@@ -5,3 +5,15 @@ from .dp import (  # noqa: F401
     shard_batch_to_mesh,
     stack_shards,
 )
+from .ep import (  # noqa: F401
+    make_ep_apply,
+    make_ep_loss_and_grad,
+    partition_batch,
+    shard_ep_batch,
+)
+from .hybrid import (  # noqa: F401
+    build_hybrid_batch,
+    make_hybrid_loss_and_grad,
+    make_hybrid_mesh,
+    shard_hybrid_batch,
+)

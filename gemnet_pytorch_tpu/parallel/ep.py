@@ -57,12 +57,13 @@ def psum_replicated_grad(x, axis_name: str):
     return jax.lax.psum(x, axis_name)
 
 
-def _split_rows(ids, mask, extras, n_shards, n_edges_pad):
+def _split_rows(ids, mask, extras, n_shards, n_edges_pad, chunk=None):
     """Split one sorted row space into n_shards contiguous padded chunks."""
     n_real = int(mask.sum())
     bounds = [round(n_real * s / n_shards) for s in range(n_shards + 1)]
-    chunk = max(b1 - b0 for b0, b1 in zip(bounds, bounds[1:]))
-    chunk = -(-max(chunk, 1) // ROW_BLOCK) * ROW_BLOCK  # pad to kernel chunks
+    if chunk is None:
+        chunk = max(b1 - b0 for b0, b1 in zip(bounds, bounds[1:]))
+        chunk = -(-max(chunk, 1) // ROW_BLOCK) * ROW_BLOCK  # pad to kernel chunks
     pad_id = ids[-1] if len(ids) else 0  # max id (padding keeps sortedness)
 
     out_ids = np.full((n_shards, chunk), pad_id, ids.dtype)
@@ -82,15 +83,21 @@ def _split_rows(ids, mask, extras, n_shards, n_edges_pad):
     return out_ids, out_mask, out_extras, out_splits
 
 
-def partition_batch(batch: dict[str, np.ndarray], n_shards: int) -> dict:
+def partition_batch(
+    batch: dict[str, np.ndarray], n_shards: int,
+    trip_chunk: int | None = None, quad_chunk: int | None = None,
+) -> dict:
     """Host-side row partitioner: returns a batch whose row-space arrays have
-    a leading (n_shards,) axis; all other keys replicated unchanged."""
+    a leading (n_shards,) axis; all other keys replicated unchanged.
+    Optional fixed chunk sizes keep shapes identical across dp shards
+    (parallel/hybrid.py)."""
     n_edges_pad = len(batch["id_c"])
     out = dict(batch)
 
     ids, mask, extras, splits = _split_rows(
         batch["id3_reduce_ca"], batch["trip_mask"],
         {"id3_expand_ba": batch["id3_expand_ba"]}, n_shards, n_edges_pad,
+        chunk=trip_chunk,
     )
     out["id3_reduce_ca"] = ids
     out["trip_mask"] = mask
@@ -103,7 +110,7 @@ def partition_batch(batch: dict[str, np.ndarray], n_shards: int) -> dict:
         }
         ids, mask, extras, splits = _split_rows(
             batch["id4_reduce_ca"], batch["quad_mask"], extras_in,
-            n_shards, n_edges_pad,
+            n_shards, n_edges_pad, chunk=quad_chunk,
         )
         out["id4_reduce_ca"] = ids
         out["quad_mask"] = mask
