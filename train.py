@@ -189,8 +189,8 @@ def main():
             state, _, _ = dp_step(state, stacked, jnp.asarray(plateau.lr_scale))
         else:
             state, _ = trainer.train_on_batch(state, next(train_iter), plateau.lr_scale)
-        if step == step_init + 2:
-            t_start, t_steps = time.perf_counter(), step  # skip compile step
+        if t_start is None and step >= step_init + 2:
+            t_start, t_steps = time.perf_counter(), step  # skip compile steps
 
         if step % 10 == 0:
             writer.add_scalar("lr_scale", plateau.lr_scale, step)
@@ -206,6 +206,10 @@ def main():
                     "seconds_per_step=%.4f min_per_epoch=%.2f",
                     sps, sps * steps_per_epoch / 60,
                 )
+            # restart the window so eval/checkpoint time does not pollute
+            # the next measurement (reference train_seml.py:313-325 measures
+            # a single early window for the same reason)
+            t_start, t_steps = None, step
             state = trainer.drain_metrics(state, train_metrics)
             # EMA-swapped validation (reference train_seml.py:345-356)
             for _ in range(int(np.ceil(num_val / tcfg.batch_size))):
