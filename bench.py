@@ -29,6 +29,14 @@ def log(*a):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace of the steady-state "
+                    "train steps to this directory")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -111,6 +119,16 @@ def main():
     per_sec = n_real / dt
     log(f"train steady (best of 3 windows): {dt*1e3:.2f} ms/step "
         f"-> {per_sec:.3e} trip+quad/s")
+
+    if args.profile:
+        # after the timed window: in-process tracing costs ~10x on the
+        # tunneled runtime and must not skew the reported metric
+        jax.profiler.start_trace(args.profile)
+        for _ in range(5):
+            train_once()
+        jax.block_until_ready(state.params["frequencies"])
+        jax.profiler.stop_trace()
+        log(f"profiler trace written to {args.profile}")
 
     print(json.dumps({
         "metric": "triplets+quads aggregated/sec/chip (GemNet-Q train step)",
