@@ -251,3 +251,40 @@ def test_multitarget_autograd_forces(synthetic_npz):
     assert E.shape[1] == 2
     assert F.shape[1:] == (2, 3)
     assert np.isfinite(np.asarray(E)).all() and np.isfinite(np.asarray(F)).all()
+
+
+def test_train_step_deterministic(synthetic_npz):
+    """Same seed + same batch -> bitwise-identical loss trajectory."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.config import ModelConfig, TrainConfig
+    from gemnet_pytorch_tpu.data import DataContainer, DataProvider
+    from gemnet_pytorch_tpu.models import make_model
+    from gemnet_pytorch_tpu.training import Trainer
+
+    mcfg = ModelConfig(
+        num_spherical=3, num_radial=3, num_blocks=1, emb_size_atom=16,
+        emb_size_edge=16, emb_size_trip=8, emb_size_quad=4, emb_size_rbf=4,
+        emb_size_cbf=4, emb_size_sbf=4, emb_size_bil_quad=4, emb_size_bil_trip=8,
+        triplets_only=True, direct_forces=True,
+    )
+    tcfg = TrainConfig(weight_decay=1e-6, loss="mae", rho_force=0.5, batch_size=4)
+    c = DataContainer(synthetic_npz, cutoff=5.0, int_cutoff=10.0, triplets_only=True)
+
+    def run():
+        p = DataProvider(c, ntrain=16, nval=4, batch_size=4, seed=7,
+                         pad_sample_batches=2)
+        it = p.get_dataset("train", prefetch_workers=0)
+        model = make_model(mcfg)
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        variables = dict(jax.jit(model.init)(jax.random.PRNGKey(11), batch))
+        trainer = Trainer(model, tcfg)
+        state = trainer.init_state(variables)
+        losses = []
+        for _ in range(5):
+            state, loss = trainer.train_on_batch(state, next(it), 1.0)
+            losses.append(float(loss))
+        return losses
+
+    np.testing.assert_array_equal(run(), run())
