@@ -183,6 +183,67 @@ def make_ep_loss_and_grad(model, mesh: Mesh, loss_fn):
     return jax.jit(loss_and_grad)
 
 
+def make_ep_train_step(trainer, mesh: Mesh):
+    """Full training step over an ep mesh: exact gradients (jax.grad outside
+    the vma-tracked shard_map), then the trainer's optimizer/EMA update and
+    device-side metric accumulation — the ep counterpart of
+    dp.make_dp_train_step. Returns (state, batch, lr_scale) -> (state, metrics).
+    """
+    import optax
+
+    from ..training.trainer import MOL_METRICS, TrainState  # noqa: F401
+
+    assert trainer.optimizer is not None, "call trainer.init_state first"
+    optimizer = trainer.optimizer
+    ema_decay = trainer.cfg.ema_decay
+    ep_model = make_model_ep(trainer.model)
+    row_keys = set(TRIP_ROW_KEYS) | set(QUAD_ROW_KEYS) | {
+        "trip_row_splits", "quad_row_splits",
+    }
+
+    def device_metrics(params, scales, batch):
+        local = {k: (v[0] if k in row_keys else v) for k, v in batch.items()}
+        # the trainer's loss with the ep-axis model (replicated outputs)
+        return trainer._loss_and_metrics(params, scales, local, model=ep_model)
+
+    def step(state, batch, lr_scale):
+        def loss_fn(params):
+            sharded = jax.shard_map(
+                lambda p, b: device_metrics(p, state.scales, b),
+                mesh=mesh,
+                in_specs=(P(), ep_in_specs(batch)),
+                out_specs=(P(), (P(), P())),
+                check_vma=True,
+            )
+            return sharded(params, batch)
+
+        (loss, (metrics, counts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(state.params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda s, p: s - (1.0 - ema_decay) * (s - p), state.ema_params, params
+        )
+        acc = dict(state.metric_acc)
+        for key, val in metrics.items():
+            w = counts["n_mol"] if key in MOL_METRICS else counts["n_atoms"]
+            acc[key] = acc[key] + jnp.stack([val * w, w])
+        return state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema, metric_acc=acc,
+        ), metrics
+
+    return jax.jit(step)
+
+
+def make_model_ep(model):
+    from ..models.gemnet import make_model
+
+    return make_model(dataclasses.replace(model.config, ep_axis=EP_AXIS))
+
+
 def shard_ep_batch(batch: dict, mesh: Mesh) -> dict:
     """device_put a partitioned batch with row spaces sharded over ep."""
     specs = ep_in_specs(batch)

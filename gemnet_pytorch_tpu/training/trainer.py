@@ -349,11 +349,11 @@ class Trainer:
         )
 
     # -- prediction/loss --
-    def _predict(self, params, scales, batch):
+    def _predict(self, params, scales, batch, model=None):
         variables = {"params": params}
         if scales:
             variables["scale_factors"] = scales
-        E, F, _ = energy_and_forces(self.model, variables, batch)
+        E, F, _ = energy_and_forces(model or self.model, variables, batch)
         if self.mve:
             mean_E = E[:, :1]
             var_E = jax.nn.softplus(E[:, 1:])
@@ -362,8 +362,8 @@ class Trainer:
             return mean_E, var_E, mean_F, var_F
         return E, None, F[:, 0, :], None
 
-    def _loss_and_metrics(self, params, scales, batch, axis_name=None):
-        mean_E, var_E, mean_F, var_F = self._predict(params, scales, batch)
+    def _loss_and_metrics(self, params, scales, batch, axis_name=None, model=None):
+        mean_E, var_E, mean_F, var_F = self._predict(params, scales, batch, model)
         tE, tF = batch["E"], batch["F"]
         mol_mask, atom_mask = batch["mol_mask"], batch["atom_mask"]
         e_mae_loc, energy_mae = _ratios(_mae_parts(mean_E, tE, mol_mask), axis_name)

@@ -158,3 +158,29 @@ def test_ep_training_grads_match_single_device():
             name = "/".join(str(getattr(k, "key", k)) for k in path)
             bad.append((name, float(err), float(np.abs(a).max())))
     assert not bad, bad[:10]
+
+
+def test_ep_train_step_runs_and_converges():
+    """Full ep training step (optimizer+EMA+metrics) reduces the loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.config import TrainConfig
+    from gemnet_pytorch_tpu.parallel import make_mesh
+    from gemnet_pytorch_tpu.parallel.ep import (
+        make_ep_train_step, partition_batch, shard_ep_batch,
+    )
+    from gemnet_pytorch_tpu.training import Trainer
+
+    model, variables, batch, jbatch = _setup(triplets_only=False)
+    trainer = Trainer(model, TrainConfig(weight_decay=1e-6, loss="mae",
+                                         rho_force=0.5, learning_rate=3e-3))
+    state = trainer.init_state(variables)
+    mesh = make_mesh(2, axis_names=("ep",))
+    sharded = shard_ep_batch(partition_batch(batch, 2), mesh)
+    step = make_ep_train_step(trainer, mesh)
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, sharded, jnp.asarray(1.0))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
