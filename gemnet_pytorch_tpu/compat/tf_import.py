@@ -105,18 +105,16 @@ def tf_variable_names(cfg: ModelConfig) -> dict[str, tuple]:
     return out
 
 
-def load_tf_checkpoint(path: str, cfg: ModelConfig, variables: dict) -> dict:
-    """Read a TF2 checkpoint and load it into flax variables. TF kernels are
+def apply_tf_variables(get_tensor, cfg: ModelConfig, variables: dict) -> dict:
+    """Load TF-named tensors into flax variables via a tensor-fetching
+    callable — the pure apply path of `load_tf_checkpoint`, testable without
+    TensorFlow (tests/test_compat.py feeds it a synthetic npz fixture).
+
+    get_tensor(tf_name) -> np.ndarray for names from `tf_variable_names`
+    (WITHOUT the '/.ATTRIBUTES/VARIABLE_VALUE' suffix). TF kernels are
     already (in, out) — the flax layout — so no transposes are needed
     (the reference transposes them INTO torch's (out, in), gemnet.py:628-630).
     """
-    try:
-        import tensorflow as tf  # noqa: F811
-    except ImportError as e:
-        raise ImportError(
-            "tensorflow is not installed in this environment; "
-            "use compat.torch_import for .pth checkpoints instead"
-        ) from e
     import copy
 
     import jax
@@ -125,11 +123,10 @@ def load_tf_checkpoint(path: str, cfg: ModelConfig, variables: dict) -> dict:
 
     from ..models.scaling import set_scale_by_name
 
-    reader = tf.train.load_checkpoint(path)
     params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, variables["params"]))
     scales = variables.get("scale_factors", {})
     for tf_name, (collection, target, _) in tf_variable_names(cfg).items():
-        value = reader.get_tensor(f"{tf_name}/.ATTRIBUTES/VARIABLE_VALUE")
+        value = get_tensor(tf_name)
         if collection == "scales":
             scales = set_scale_by_name(scales, target, float(value))
             continue
@@ -143,3 +140,21 @@ def load_tf_checkpoint(path: str, cfg: ModelConfig, variables: dict) -> dict:
     if scales:
         out["scale_factors"] = scales
     return out
+
+
+def load_tf_checkpoint(path: str, cfg: ModelConfig, variables: dict) -> dict:
+    """Read a TF2 checkpoint and load it into flax variables
+    (reference `load_tfmodel`, gemnet.py:617-778)."""
+    try:
+        import tensorflow as tf  # noqa: F811
+    except ImportError as e:
+        raise ImportError(
+            "tensorflow is not installed in this environment; "
+            "use compat.torch_import for .pth checkpoints instead"
+        ) from e
+
+    reader = tf.train.load_checkpoint(path)
+    return apply_tf_variables(
+        lambda name: reader.get_tensor(f"{name}/.ATTRIBUTES/VARIABLE_VALUE"),
+        cfg, variables,
+    )

@@ -81,6 +81,11 @@ class TrainConfig:
     loss: str = "rmse"  # "mae" | "rmse" (force loss; energy always MAE)
     mve: bool = False
     agc: bool = False
+    # strict-parity mode: reproduce the reference's inverted AGC selection
+    # (trainer.py:192-198 clips ONLY out_energy/out_forces, the opposite of
+    # the stated NFNet intent) so AGC runs can be bit-compared; the corrected
+    # behavior (clip everything EXCEPT the heads) stays the default.
+    agc_compat_reference: bool = False
     batch_size: int = 32
     num_steps: int = 1_500_000
     evaluation_interval: int = 7500

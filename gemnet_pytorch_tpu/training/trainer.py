@@ -169,11 +169,15 @@ def scale_shared_grads(model_cfg: ModelConfig) -> optax.GradientTransformation:
 
 
 def adaptive_gradient_clip(
-    clip_factor: float, eps: float = 1e-3
+    clip_factor: float, eps: float = 1e-3, compat_reference: bool = False
 ) -> optax.GradientTransformation:
     """AGC (reference trainer.py:225-248; NFNets): clip g so that
     ||g||_unit <= clip_factor * max(||p||_unit, eps), per output unit.
-    Final output heads (out_energy / out_forces) are left unclipped."""
+    Final output heads (out_energy / out_forces) are left unclipped.
+
+    compat_reference=True reproduces the reference's inverted selection
+    (trainer.py:192-198): ONLY the out_energy/out_forces params are clipped
+    and everything else passes through — for bit-comparable AGC runs."""
 
     def unitwise_norm(x):
         if x.ndim <= 1:
@@ -189,8 +193,9 @@ def adaptive_gradient_clip(
         assert params is not None, "AGC requires params"
 
         def clip(path, g, p):
-            if any("out_energy" in str(getattr(k, "key", k)) or
-                   "out_forces" in str(getattr(k, "key", k)) for k in path):
+            is_head = any("out_energy" in str(getattr(k, "key", k)) or
+                          "out_forces" in str(getattr(k, "key", k)) for k in path)
+            if is_head != compat_reference:
                 return g
             max_norm = jnp.maximum(unitwise_norm(p), eps) * clip_factor
             g_norm = jnp.maximum(unitwise_norm(g), 1e-6)
@@ -215,7 +220,9 @@ def make_optimizer(cfg: TrainConfig, model_cfg: ModelConfig, params) -> optax.Gr
         return optax.chain(*parts)
 
     clip = (
-        adaptive_gradient_clip(cfg.grad_clip_max)
+        adaptive_gradient_clip(
+            cfg.grad_clip_max, compat_reference=cfg.agc_compat_reference
+        )
         if cfg.agc
         else optax.clip_by_global_norm(cfg.grad_clip_max)
     )
@@ -499,11 +506,13 @@ class Trainer:
 
     def drain_metrics(self, state: TrainState, metrics) -> TrainState:
         """Move the device-side accumulators into a host Metrics object and
-        reset them (single host sync per evaluation interval)."""
+        reset them (single host sync per evaluation interval). Each key drains
+        with its own accumulated sample weight so multi-interval aggregation
+        stays sample-weighted (reference metrics.py:66-79)."""
         acc = jax.device_get(state.metric_acc)
         for key, (wsum, w) in acc.items():
             if w > 0:
-                metrics.update_state(1, **{key: wsum / w})
+                metrics.update_state(float(w), **{key: wsum / w})
         return state.replace(
             metric_acc={k: jnp.zeros(2, jnp.float32) for k in self.tracked_metrics}
         )

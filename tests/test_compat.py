@@ -61,6 +61,82 @@ def test_tf_name_mapping_resolves(triplets_only, direct_forces):
             node = node[part]
 
 
+@pytest.mark.parametrize("triplets_only,direct_forces",
+                         [(False, False), (True, True)])
+def test_tf_import_end_to_end_synthetic(triplets_only, direct_forces):
+    """Full apply path of the TF importer on a synthetic TF-named variable
+    dict (no TensorFlow needed): every mapped param is replaced, scales land
+    in the flax collection, and the loaded model runs and differs from init
+    (reference load_tfmodel, gemnet.py:617-778)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.compat import apply_tf_variables, tf_variable_names
+    from gemnet_pytorch_tpu.config import ModelConfig
+    from gemnet_pytorch_tpu.models import make_model
+    from gemnet_pytorch_tpu.models.scaling import scales_to_dict
+
+    cfg = ModelConfig(
+        num_spherical=3, num_radial=3, num_blocks=2, emb_size_atom=16,
+        emb_size_edge=16, emb_size_trip=8, emb_size_quad=4, emb_size_rbf=4,
+        emb_size_cbf=4, emb_size_sbf=4, emb_size_bil_quad=4, emb_size_bil_trip=8,
+        triplets_only=triplets_only, direct_forces=direct_forces,
+    )
+    variables = _variables(cfg)
+    mapping = tf_variable_names(cfg)
+
+    # synthetic "checkpoint": correctly-shaped random tensors under TF names
+    rng = np.random.default_rng(5)
+    fake: dict[str, np.ndarray] = {}
+    for tf_name, (coll, target, _) in mapping.items():
+        if coll == "scales":
+            fake[tf_name] = np.float32(rng.uniform(0.5, 2.0))
+        else:
+            node = variables["params"]
+            for part in target:
+                node = node[part]
+            fake[tf_name] = rng.normal(
+                scale=0.05, size=np.shape(node)).astype(np.float32)
+
+    loaded = apply_tf_variables(lambda n: fake[n], cfg, variables)
+
+    # every mapped param replaced exactly
+    for tf_name, (coll, target, _) in mapping.items():
+        if coll == "scales":
+            assert scales_to_dict(loaded["scale_factors"])[target] == pytest.approx(
+                float(fake[tf_name]))
+            continue
+        node = loaded["params"]
+        for part in target:
+            node = node[part]
+        np.testing.assert_array_equal(np.asarray(node), fake[tf_name])
+
+    # the loaded model runs end-to-end and differs from the init params
+    from gemnet_pytorch_tpu.data.graph import build_graph
+    from gemnet_pytorch_tpu.data.padding import PadDims, _scale_graph_dims, pad_batch
+    from gemnet_pytorch_tpu.data.synthetic import random_molecule
+    from gemnet_pytorch_tpu.models import energy_and_forces
+
+    rng2 = np.random.default_rng(0)
+    Z, R = random_molecule(rng2, 8)
+    g = build_graph(R, np.array([8]), cfg.cutoff, cfg.int_cutoff,
+                    triplets_only=cfg.triplets_only)
+    dims = PadDims(
+        n_mol=1, n_atoms=16, n_edges=128, n_triplets=512, kmax3=8,
+        n_int_edges=0 if cfg.triplets_only else 64,
+        n_intm=0 if cfg.triplets_only else 512,
+        n_quads=0 if cfg.triplets_only else 512,
+        kmax4=0 if cfg.triplets_only else 8,
+    ).grow_to(_scale_graph_dims(g, 1.1), 1, 8)
+    batch = {k: jnp.asarray(v) for k, v in
+             pad_batch(g, Z, R, dims, triplets_only=cfg.triplets_only).items()}
+    model = make_model(cfg)
+    E0, F0, _ = energy_and_forces(model, variables, batch)
+    E1, F1, _ = energy_and_forces(model, loaded, batch)
+    assert np.isfinite(np.asarray(E1)).all() and np.isfinite(np.asarray(F1)).all()
+    assert not np.allclose(np.asarray(E0), np.asarray(E1))
+
+
 def test_tf_loader_gated_without_tf():
     from gemnet_pytorch_tpu.compat import load_tf_checkpoint
     from gemnet_pytorch_tpu.config import ModelConfig

@@ -195,6 +195,54 @@ def test_fit_scaling_smoke(tiny_setup, tmp_path):
     assert set(fitted).issubset(set(data))
 
 
+def test_drain_metrics_sample_weighted(tiny_setup):
+    """Multi-interval drains aggregate weighted by sample counts, not per
+    drain (reference metrics.py:66-79)."""
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.training import Metrics
+
+    trainer, state = tiny_setup["trainer"], tiny_setup["state"]
+    metrics = Metrics("train", trainer.tracked_metrics)
+    acc1 = {k: jnp.zeros(2, jnp.float32) for k in trainer.tracked_metrics}
+    # interval 1: loss mean 2.0 over weight 10; interval 2: 8.0 over weight 30
+    acc1["loss"] = jnp.asarray([20.0, 10.0])
+    state = trainer.drain_metrics(state.replace(metric_acc=acc1), metrics)
+    acc2 = {k: jnp.zeros(2, jnp.float32) for k in trainer.tracked_metrics}
+    acc2["loss"] = jnp.asarray([240.0, 30.0])
+    state = trainer.drain_metrics(state.replace(metric_acc=acc2), metrics)
+    # sample-weighted mean: (20+240)/(10+30) = 6.5, NOT (2+8)/2 = 5
+    assert metrics.loss == pytest.approx(6.5)
+    # accumulators reset after drain
+    assert float(state.metric_acc["loss"][1]) == 0.0
+
+
+def test_agc_compat_reference():
+    """agc_compat_reference reproduces the reference's inverted selection
+    (trainer.py:192-198: ONLY out_energy/out_forces clipped); the default
+    follows the NFNet intent (everything EXCEPT the heads clipped)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.training.trainer import adaptive_gradient_clip
+
+    params = {
+        "dense": {"kernel": jnp.ones((4, 4)) * 0.01},
+        "out_energy": {"kernel": jnp.ones((4, 1)) * 0.01},
+    }
+    grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 100.0, params)
+
+    for compat in (False, True):
+        tx = adaptive_gradient_clip(0.05, compat_reference=compat)
+        out, _ = tx.update(grads, tx.init(params), params)
+        dense_clipped = float(out["dense"]["kernel"].max()) < 100.0
+        head_clipped = float(out["out_energy"]["kernel"].max()) < 100.0
+        if compat:
+            assert head_clipped and not dense_clipped
+        else:
+            assert dense_clipped and not head_clipped
+
+
 def test_mve_training(synthetic_npz):
     """MVE loss path (num_targets=2, softplus variance, NLL)."""
     import jax
