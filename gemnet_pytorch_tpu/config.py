@@ -55,6 +55,10 @@ class ModelConfig:
     # the mesh axis for edge-partitioned execution (parallel/ep.py)
     bilinear_implementation: str = "auto"
     ep_axis: Optional[str] = None
+    # halo (rung 2b) edge-partitioned mode: batch comes from
+    # parallel/halo.build_halo_partition (local edge/row spaces + halo
+    # exchange); ep_axis names the mesh axis for the all_to_alls/psums
+    ep_halo: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "ModelConfig":

@@ -95,9 +95,16 @@ class GemNet(nn.Module):
 
         # ---- geometry ----
         D_ca, V_ca = geometry.interatomic_vectors(R, id_c, id_a, edge_mask)
-        angles3 = geometry.triplet_angles(
-            R, id_c, id_a, batch["id3_reduce_ca"], batch["id3_expand_ba"]
-        )
+        if cfg.ep_halo:
+            # halo mode (parallel/halo.py): edge slots are shard-local and the
+            # expand edge's source atom is precomputed per triplet row
+            angles3 = geometry.triplet_angles_halo(
+                R, id_c, id_a, batch["id3_reduce_ca"], batch["trip_b_atom"]
+            )
+        else:
+            angles3 = geometry.triplet_angles(
+                R, id_c, id_a, batch["id3_reduce_ca"], batch["id3_expand_ba"]
+            )
 
         # ---- basis: triplets (efficient layout) ----
         rbf = self.rbf_basis(frequencies, D_ca) * edge_mask[:, None].astype(R.dtype)
@@ -116,12 +123,23 @@ class GemNet(nn.Module):
             D_ab, _ = geometry.interatomic_vectors(
                 R, id4_int_b, id4_int_a, masks["int_edge"]
             )
-            phi_cab, phi_abd, theta_cabd = geometry.quadruplet_angles(
-                R, id_c, id_a, id4_int_b, id4_int_a,
-                batch["id4_expand_abd"], batch["id4_reduce_cab"],
-                batch["id4_expand_intm_db"], batch["id4_reduce_intm_ca"],
-                batch["id4_expand_intm_ab"], batch["id4_reduce_intm_ab"],
-            )
+            if cfg.ep_halo:
+                phi_cab, phi_abd, theta_cabd = geometry.quadruplet_angles_halo(
+                    R, id_c, id_a, id4_int_b,
+                    batch["id4_reduce_intm_ca"], batch["id4_reduce_intm_ab"],
+                    batch["id4_reduce_cab"],
+                    batch["intm_ext_a_atom"], batch["intm_ext_b_atom"],
+                    batch["intm_ext_d_atom"],
+                    batch["id4_expand_intm_db"].shape[0],
+                    batch["id4_expand_abd"],
+                )
+            else:
+                phi_cab, phi_abd, theta_cabd = geometry.quadruplet_angles(
+                    R, id_c, id_a, id4_int_b, id4_int_a,
+                    batch["id4_expand_abd"], batch["id4_reduce_cab"],
+                    batch["id4_expand_intm_db"], batch["id4_reduce_intm_ca"],
+                    batch["id4_expand_intm_ab"], batch["id4_reduce_intm_ab"],
+                )
             # dense circular basis on the intermediate d->b space
             # (reference gemnet.py:517, basis_layers.py:133-147)
             cbf4_env = self.cbf_basis.rbf_env(D_ab, masks["int_edge"])  # (IE, S, R)
@@ -170,8 +188,19 @@ class GemNet(nn.Module):
                 id4_expand_abd=batch["id4_expand_abd"],
                 quad_row_splits=batch["quad_row_splits"],
             )
+        if cfg.ep_halo:
+            indices.update(
+                edge_halo_send_idx=batch["edge_halo_send_idx"],
+                edge_halo_send_mask=batch["edge_halo_send_mask"],
+            )
+            if not cfg.triplets_only:
+                indices.update(
+                    intm_halo_send_idx=batch["intm_halo_send_idx"],
+                    intm_halo_send_mask=batch["intm_halo_send_mask"],
+                )
 
         # ---- block stack ----
+        out_psum = cfg.ep_axis if cfg.ep_halo else None
         E_a, F_ca = OutputBlock(
             emb_size_atom=cfg.emb_size_atom,
             emb_size_edge=cfg.emb_size_edge,
@@ -181,6 +210,7 @@ class GemNet(nn.Module):
             direct_forces=cfg.direct_forces,
             output_init=cfg.output_init,
             scale_prefix="OutBlock_0",
+            psum_axis=out_psum,
             name="out_blocks_0",
         )(h, m, rbf_out, id_a, edge_mask, atom_mask)
 
@@ -201,6 +231,7 @@ class GemNet(nn.Module):
                 activation=cfg.activation,
                 implementation=cfg.bilinear_implementation,
                 ep_axis=cfg.ep_axis,
+                ep_halo=cfg.ep_halo,
                 name=f"int_blocks_{i}",
             )(h, m, basis, indices, masks)
             E, F = OutputBlock(
@@ -212,6 +243,7 @@ class GemNet(nn.Module):
                 direct_forces=cfg.direct_forces,
                 output_init=cfg.output_init,
                 scale_prefix=f"OutBlock_{i + 1}",
+                psum_axis=out_psum,
                 name=f"out_blocks_{i + 1}",
             )(h, m, rbf_out, id_a, edge_mask, atom_mask)
             E_a = E_a + E
@@ -235,6 +267,8 @@ class GemNet(nn.Module):
             # map scalar heads onto edge directions, aggregate per atom
             F_ji = F_ca[:, :, None] * V_ca[:, None, :]  # (E, T, 3)
             F_atom = masked_segment_sum(F_ji, id_a, n_atoms, mask=edge_mask)
+            if cfg.ep_halo:
+                F_atom = jax.lax.psum(F_atom, cfg.ep_axis)
             return E_mol, F_atom
         return E_mol, F_ca
 

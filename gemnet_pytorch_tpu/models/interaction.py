@@ -40,7 +40,7 @@ class QuadrupletInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, m, rbf, cbf, sbf, quad_row_splits, id_swap, id4_reduce_ca,
-                 id4_expand_intm_db, id4_expand_abd, masks):
+                 id4_expand_intm_db, id4_expand_abd, masks, halo=None):
         x_db = Dense(self.emb_size_edge, activation=self.activation, name="dense_db")(m)
 
         # radial basis hadamard
@@ -51,14 +51,20 @@ class QuadrupletInteraction(nn.Module):
         x_db = Dense(self.emb_size_quad, activation=self.activation,
                      name="down_projection")(x_db)
 
-        # circular basis hadamard on the intermediate d->b space
+        # circular basis hadamard on the intermediate d->b space (halo mode:
+        # intm_db rows live with their d->b edge, so this gather is LOCAL)
         x_db = x_db[id4_expand_intm_db]
         x_db2 = x_db * Dense(self.emb_size_quad, name="mlp_cbf")(cbf)
         x_db = ScalingFactor(self.scale_prefix + "_had_cbf", name="scale_cbf")(
             x_db, x_db2, mask_ref=masks["intm_db"], mask_y=masks["intm_db"]
         )
 
-        # spherical basis bilinear over quadruplets -> edges
+        # spherical basis bilinear over quadruplets -> edges (halo mode: one
+        # all_to_all fetches the remote intm rows local quads reference)
+        if halo is not None:
+            from ..parallel.halo import halo_extend
+
+            x_db = halo_extend(x_db, *halo["intm_send"], halo["axis"])
         x_db = x_db[id4_expand_abd]
         rbf_W1, sph_rows = sbf
         x = EfficientInteractionBilinear(
@@ -95,7 +101,7 @@ class TripletInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, m, rbf3, cbf3, trip_row_splits, id_swap, id3_expand_ba,
-                 id3_reduce_ca, masks):
+                 id3_reduce_ca, masks, halo=None):
         x_ba = Dense(self.emb_size_edge, activation=self.activation, name="dense_ba")(m)
 
         x_ba2 = x_ba * Dense(self.emb_size_edge, name="mlp_rbf")(rbf3)
@@ -105,6 +111,12 @@ class TripletInteraction(nn.Module):
         x_ba = Dense(self.emb_size_trip, activation=self.activation,
                      name="down_projection")(x_ba)
 
+        # halo mode: one all_to_all fetches the remote edge rows local
+        # triplets reference, then the (remapped) expand gather is local
+        if halo is not None:
+            from ..parallel.halo import halo_extend
+
+            x_ba = halo_extend(x_ba, *halo["edge_send"], halo["axis"])
         x_ba = x_ba[id3_expand_ba]
         rbf_W1, sph_rows = cbf3
         x = EfficientInteractionBilinear(
@@ -148,11 +160,27 @@ class InteractionBlock(nn.Module):
     activation: Optional[str] = None
     implementation: str = "auto"
     ep_axis: Optional[str] = None
+    ep_halo: bool = False
 
     @nn.compact
     def __call__(self, h, m, basis, indices, masks):
         x_ca_skip = Dense(self.emb_size_edge, activation=self.activation,
                           name="dense_ca")(m)
+
+        # halo (rung 2b) mode: rows reduce onto LOCAL edges (no rung-2a psum
+        # of bilinear outputs); expand gathers go through halo all_to_alls
+        halo = None
+        sub_ep_axis = self.ep_axis
+        if self.ep_halo:
+            sub_ep_axis = None
+            halo = {
+                "axis": self.ep_axis,
+                "edge_send": (indices["edge_halo_send_idx"],
+                              indices["edge_halo_send_mask"]),
+            }
+            if not self.triplets_only:
+                halo["intm_send"] = (indices["intm_halo_send_idx"],
+                                     indices["intm_halo_send_mask"])
 
         x3 = TripletInteraction(
             emb_size_edge=self.emb_size_edge,
@@ -161,12 +189,12 @@ class InteractionBlock(nn.Module):
             activation=self.activation,
             scale_prefix=f"TripInteraction_{self.block_nr}",
             implementation=self.implementation,
-            ep_axis=self.ep_axis,
+            ep_axis=sub_ep_axis,
             name="trip_interaction",
         )(
             m, basis["rbf3"], basis["cbf3"], indices["trip_row_splits"],
             indices["id_swap"], indices["id3_expand_ba"],
-            indices["id3_reduce_ca"], masks,
+            indices["id3_reduce_ca"], masks, halo=halo,
         )
 
         if not self.triplets_only:
@@ -177,13 +205,13 @@ class InteractionBlock(nn.Module):
                 activation=self.activation,
                 scale_prefix=f"QuadInteraction_{self.block_nr}",
                 implementation=self.implementation,
-                ep_axis=self.ep_axis,
+                ep_axis=sub_ep_axis,
                 name="quad_interaction",
             )(
                 m, basis["rbf4"], basis["cbf4"], basis["sbf4"],
                 indices["quad_row_splits"], indices["id_swap"],
                 indices["id4_reduce_ca"], indices["id4_expand_intm_db"],
-                indices["id4_expand_abd"], masks,
+                indices["id4_expand_abd"], masks, halo=halo,
             )
             x = (x_ca_skip + x3 + x4) * _INV_SQRT3
         else:
@@ -203,6 +231,7 @@ class InteractionBlock(nn.Module):
             n_hidden=self.num_atom,
             activation=self.activation,
             scale_name=f"AtomUpdate_{self.block_nr}_sum",
+            psum_axis=self.ep_axis if self.ep_halo else None,
             name="atom_update",
         )(h, m, basis["rbf_h"], indices["id_a"], masks["edge"], masks["atom"])
         h = (h + h2) * _INV_SQRT2

@@ -197,6 +197,9 @@ class AtomUpdateBlock(nn.Module):
     n_hidden: int
     activation: Optional[str] = None
     scale_name: str = "atom_update_sum"
+    # halo (edge-partitioned) mode: each shard's segment-sum covers only its
+    # local edges; psum the small (nAtoms, emb) accumulator (parallel/halo.py)
+    psum_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, h, m, rbf, id_target, edge_mask, atom_mask):
@@ -204,6 +207,10 @@ class AtomUpdateBlock(nn.Module):
         mlp_rbf = Dense(self.emb_size_edge, name="dense_rbf")(rbf)
         x = m * mlp_rbf
         x2 = masked_segment_sum(x, id_target, n_atoms, mask=edge_mask)
+        if self.psum_axis:
+            import jax
+
+            x2 = jax.lax.psum(x2, self.psum_axis)
         x = ScalingFactor(self.scale_name, name="scale_sum")(
             m, x2, mask_ref=edge_mask, mask_y=atom_mask
         )
@@ -227,6 +234,7 @@ class OutputBlock(nn.Module):
     direct_forces: bool = True
     output_init: str = "HeOrthogonal"
     scale_prefix: str = "OutBlock_0"
+    psum_axis: Optional[str] = None  # see AtomUpdateBlock
 
     @nn.compact
     def __call__(self, h, m, rbf, id_target, edge_mask, atom_mask):
@@ -244,6 +252,10 @@ class OutputBlock(nn.Module):
 
         # ---- energy ----
         x_E = masked_segment_sum(x, id_target, n_atoms, mask=edge_mask)
+        if self.psum_axis:
+            import jax
+
+            x_E = jax.lax.psum(x_E, self.psum_axis)
         x_E = ScalingFactor(self.scale_prefix + "_sum", name="scale_sum")(
             m, x_E, mask_ref=edge_mask, mask_y=atom_mask
         )

@@ -66,6 +66,71 @@ def triplet_angles(
     return neighbor_angles(Rc - Ra, Rb - Ra)
 
 
+def triplet_angles_halo(
+    R: jnp.ndarray,
+    id_c: jnp.ndarray,
+    id_a: jnp.ndarray,
+    id3_reduce_ca: jnp.ndarray,
+    trip_b_atom: jnp.ndarray,
+) -> jnp.ndarray:
+    """Halo-mode triplet angles: the expand edge's source atom is precomputed
+    per row by the host partitioner (parallel/halo.py) so no cross-shard edge
+    lookup is needed; id3_reduce_ca holds LOCAL edge slots. Same math as
+    `triplet_angles` (reference gemnet.py:420-451)."""
+    Rc = R[id_c[id3_reduce_ca]]
+    Ra = R[id_a[id3_reduce_ca]]
+    Rb = R[trip_b_atom]
+    return neighbor_angles(Rc - Ra, Rb - Ra)
+
+
+def quadruplet_angles_halo(
+    R: jnp.ndarray,
+    id_c: jnp.ndarray,
+    id_a: jnp.ndarray,
+    id4_int_b: jnp.ndarray,
+    id4_reduce_intm_ca: jnp.ndarray,
+    id4_reduce_intm_ab: jnp.ndarray,
+    id4_reduce_cab: jnp.ndarray,
+    intm_ext_a_atom: jnp.ndarray,
+    intm_ext_b_atom: jnp.ndarray,
+    intm_ext_d_atom: jnp.ndarray,
+    n_intm_db_local: int,
+    id4_expand_abd: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Halo-mode quadruplet angles (same math as `quadruplet_angles`,
+    reference gemnet.py:334-418) over partitioned spaces:
+
+    - intm_ca rows are local (owned with their c->a edge;
+      `id4_reduce_intm_ca` holds LOCAL edge slots);
+    - the intm_db dihedral projection is computed on the EXTENDED
+      [local ; halo] space directly from per-row ATOM indices (positions R
+      are replicated, so halo-row geometry is locally computable and needs
+      no runtime exchange);
+    - angle_abd (feeding the circular basis) is returned for the local
+      intm_db rows only.
+    """
+    # c -> a <- b on local intm_ca rows
+    Rc = R[id_c[id4_reduce_intm_ca]]
+    Ra = R[id_a[id4_reduce_intm_ca]]
+    Rb = R[id4_int_b[id4_reduce_intm_ab]]
+    R_ac = Rc - Ra
+    R_ab = Rb - Ra
+    angle_cab = neighbor_angles(R_ab, R_ac)[id4_reduce_cab]  # -> quad space
+    R_ac_proj = vector_rejection(R_ac, R_ab)[id4_reduce_cab]
+
+    # a - b <- d on the EXTENDED intm_db space
+    Ra = R[intm_ext_a_atom]
+    Rb = R[intm_ext_b_atom]
+    Rd = R[intm_ext_d_atom]
+    R_ba = Ra - Rb
+    R_bd = Rd - Rb
+    angle_abd = neighbor_angles(R_ba, R_bd)[:n_intm_db_local]
+    R_bd_proj = vector_rejection(R_bd, R_ba)[id4_expand_abd]  # -> quad space
+
+    angle_cabd = neighbor_angles(R_ac_proj, R_bd_proj)
+    return angle_cab, angle_abd, angle_cabd
+
+
 def quadruplet_angles(
     R: jnp.ndarray,
     id_c: jnp.ndarray,

@@ -49,3 +49,18 @@ def add_reference_shims():
         np.math = math  # np.math.factorial removed in numpy>=2
     if not hasattr(np, "bool"):
         np.bool = np.bool_  # np.bool removed; used in reference data_container
+
+    # torch>=2.7 removed the `verbose` kwarg from LR schedulers; the
+    # reference's LinearWarmupExponentialDecay passes it (schedules.py:46)
+    import inspect
+
+    import torch
+
+    sig = inspect.signature(torch.optim.lr_scheduler.LambdaLR.__init__)
+    if "verbose" not in sig.parameters:
+        _orig_init = torch.optim.lr_scheduler.LambdaLR.__init__
+
+        def _init(self, optimizer, lr_lambda, last_epoch=-1, verbose=False):
+            _orig_init(self, optimizer, lr_lambda, last_epoch=last_epoch)
+
+        torch.optim.lr_scheduler.LambdaLR.__init__ = _init
