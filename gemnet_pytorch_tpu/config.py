@@ -54,6 +54,16 @@ class ModelConfig:
     # fused segment kernels on TPU and the XLA fallback on CPU; ep_axis names
     # the mesh axis for edge-partitioned execution (parallel/ep.py)
     bilinear_implementation: str = "auto"
+    # "float32" (reference semantics) or "bfloat16": layers compute in bf16 on
+    # the MXU while master params, geometry, basis generation, and all
+    # reductions/accumulators stay fp32 (see models/gemnet.py docstring)
+    compute_dtype: str = "float32"
+    # default matmul precision for the model's fp32 matmuls ("default" lets
+    # the TPU MXU round inputs to bf16 — the standard JAX/TPU behavior;
+    # "highest" runs the fp32 multi-pass decomposition for bit-faithful
+    # reference parity on hardware). Ignored where ops set it explicitly
+    # (the Pallas kernels pick theirs from the input dtype).
+    matmul_precision: str = "default"
     ep_axis: Optional[str] = None
     # halo (rung 2b) edge-partitioned mode: batch comes from
     # parallel/halo.build_halo_partition (local edge/row spaces + halo

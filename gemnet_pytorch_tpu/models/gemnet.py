@@ -76,8 +76,19 @@ class GemNet(nn.Module):
         `R` overrides batch["R"] so jax.grad can differentiate w.r.t. it.
         """
         cfg = self.config
+        # bf16 mixed-precision mode: geometry + basis GENERATION stay fp32
+        # (angle/envelope math is cancellation-sensitive and feeds the
+        # double-backward force path); basis OUTPUTS and all layer compute are
+        # cast to bf16; reductions accumulate fp32 (ops/segment.py); outputs
+        # are returned fp32. Master params always stored fp32 (flax dtype=).
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         if R is None:
             R = batch["R"]
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return self._forward(batch, R, cdt)
+
+    def _forward(self, batch, R, cdt):
+        cfg = self.config
         Z = batch["Z"]
         id_c, id_a = batch["id_c"], batch["id_a"]
         edge_mask, atom_mask = batch["edge_mask"], batch["atom_mask"]
@@ -151,27 +162,38 @@ class GemNet(nn.Module):
             # efficient spherical basis over quadruplets
             sbf_env = self.sbf_basis.rbf_env3(D_ca, edge_mask)  # (E, S^2, R)
             sph_sbf = self.sbf_basis.sbf(phi_cab, theta_cabd)  # (Q, S^2)
+            if cdt is not None:
+                cbf4_dense = cbf4_dense.astype(cdt)
+                sbf_env = sbf_env.astype(cdt)
+                sph_sbf = sph_sbf.astype(cdt)
+
+        if cdt is not None:
+            rbf = rbf.astype(cdt)
+            cbf3_env = cbf3_env.astype(cdt)
+            sph3 = sph3.astype(cdt)
 
         # ---- shared down-projections (reference gemnet.py:158-205,532-545) ----
         if not cfg.triplets_only:
-            basis["rbf4"] = Dense(cfg.emb_size_rbf, name="mlp_rbf4")(rbf)
-            basis["cbf4"] = Dense(cfg.emb_size_cbf, name="mlp_cbf4")(cbf4_dense)
+            basis["rbf4"] = Dense(cfg.emb_size_rbf, dtype=cdt, name="mlp_rbf4")(rbf)
+            basis["cbf4"] = Dense(cfg.emb_size_cbf, dtype=cdt, name="mlp_cbf4")(cbf4_dense)
             rbf_W1_sbf = EfficientInteractionDownProjection(
-                cfg.num_spherical**2, cfg.num_radial, cfg.emb_size_sbf, name="mlp_sbf4"
+                cfg.num_spherical**2, cfg.num_radial, cfg.emb_size_sbf,
+                dtype=cdt, name="mlp_sbf4"
             )(sbf_env)
             basis["sbf4"] = (rbf_W1_sbf, sph_sbf)
-        basis["rbf3"] = Dense(cfg.emb_size_rbf, name="mlp_rbf3")(rbf)
+        basis["rbf3"] = Dense(cfg.emb_size_rbf, dtype=cdt, name="mlp_rbf3")(rbf)
         rbf_W1_cbf3 = EfficientInteractionDownProjection(
-            cfg.num_spherical, cfg.num_radial, cfg.emb_size_cbf, name="mlp_cbf3"
+            cfg.num_spherical, cfg.num_radial, cfg.emb_size_cbf, dtype=cdt,
+            name="mlp_cbf3"
         )(cbf3_env)
         basis["cbf3"] = (rbf_W1_cbf3, sph3)
-        basis["rbf_h"] = Dense(cfg.emb_size_rbf, name="mlp_rbf_h")(rbf)
-        rbf_out = Dense(cfg.emb_size_rbf, name="mlp_rbf_out")(rbf)
+        basis["rbf_h"] = Dense(cfg.emb_size_rbf, dtype=cdt, name="mlp_rbf_h")(rbf)
+        rbf_out = Dense(cfg.emb_size_rbf, dtype=cdt, name="mlp_rbf_out")(rbf)
 
         # ---- embeddings ----
-        h = AtomEmbedding(cfg.emb_size_atom, name="atom_emb")(Z)
+        h = AtomEmbedding(cfg.emb_size_atom, dtype=cdt, name="atom_emb")(Z)
         m = EdgeEmbedding(cfg.emb_size_edge, activation=cfg.activation,
-                          name="edge_emb")(h, rbf, id_c, id_a)
+                          dtype=cdt, name="edge_emb")(h, rbf, id_c, id_a)
 
         indices = {
             "id_c": id_c,
@@ -211,6 +233,7 @@ class GemNet(nn.Module):
             output_init=cfg.output_init,
             scale_prefix="OutBlock_0",
             psum_axis=out_psum,
+            dtype=cdt,
             name="out_blocks_0",
         )(h, m, rbf_out, id_a, edge_mask, atom_mask)
 
@@ -232,6 +255,7 @@ class GemNet(nn.Module):
                 implementation=cfg.bilinear_implementation,
                 ep_axis=cfg.ep_axis,
                 ep_halo=cfg.ep_halo,
+                dtype=cdt,
                 name=f"int_blocks_{i}",
             )(h, m, basis, indices, masks)
             E, F = OutputBlock(
@@ -244,6 +268,7 @@ class GemNet(nn.Module):
                 output_init=cfg.output_init,
                 scale_prefix=f"OutBlock_{i + 1}",
                 psum_axis=out_psum,
+                dtype=cdt,
                 name=f"out_blocks_{i + 1}",
             )(h, m, rbf_out, id_a, edge_mask, atom_mask)
             E_a = E_a + E
@@ -256,6 +281,7 @@ class GemNet(nn.Module):
         else:
             E_mol = masked_segment_mean(E_a, batch["batch_seg"], n_mol, mask=atom_mask)
 
+        E_mol = E_mol.astype(jnp.float32)
         if cfg.direct_forces:
             if cfg.forces_coupled:
                 # |F_ca| = |F_ac| via undirected mean (reference gemnet.py:588-592)
@@ -269,8 +295,8 @@ class GemNet(nn.Module):
             F_atom = masked_segment_sum(F_ji, id_a, n_atoms, mask=edge_mask)
             if cfg.ep_halo:
                 F_atom = jax.lax.psum(F_atom, cfg.ep_axis)
-            return E_mol, F_atom
-        return E_mol, F_ca
+            return E_mol, F_atom.astype(jnp.float32)
+        return E_mol, F_ca.astype(jnp.float32)
 
 
 def make_model(cfg: ModelConfig) -> GemNet:

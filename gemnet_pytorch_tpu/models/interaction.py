@@ -10,7 +10,7 @@ match the reference.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 
@@ -37,24 +37,26 @@ class QuadrupletInteraction(nn.Module):
     scale_prefix: str = "QuadInteraction_1"
     implementation: str = "auto"
     ep_axis: Optional[str] = None
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, m, rbf, cbf, sbf, quad_row_splits, id_swap, id4_reduce_ca,
                  id4_expand_intm_db, id4_expand_abd, masks, halo=None):
-        x_db = Dense(self.emb_size_edge, activation=self.activation, name="dense_db")(m)
+        x_db = Dense(self.emb_size_edge, activation=self.activation,
+                     dtype=self.dtype, name="dense_db")(m)
 
         # radial basis hadamard
-        x_db2 = x_db * Dense(self.emb_size_edge, name="mlp_rbf")(rbf)
+        x_db2 = x_db * Dense(self.emb_size_edge, dtype=self.dtype, name="mlp_rbf")(rbf)
         x_db = ScalingFactor(self.scale_prefix + "_had_rbf", name="scale_rbf")(
             x_db, x_db2, mask_ref=masks["edge"], mask_y=masks["edge"]
         )
         x_db = Dense(self.emb_size_quad, activation=self.activation,
-                     name="down_projection")(x_db)
+                     dtype=self.dtype, name="down_projection")(x_db)
 
         # circular basis hadamard on the intermediate d->b space (halo mode:
         # intm_db rows live with their d->b edge, so this gather is LOCAL)
         x_db = x_db[id4_expand_intm_db]
-        x_db2 = x_db * Dense(self.emb_size_quad, name="mlp_cbf")(cbf)
+        x_db2 = x_db * Dense(self.emb_size_quad, dtype=self.dtype, name="mlp_cbf")(cbf)
         x_db = ScalingFactor(self.scale_prefix + "_had_cbf", name="scale_cbf")(
             x_db, x_db2, mask_ref=masks["intm_db"], mask_y=masks["intm_db"]
         )
@@ -69,7 +71,7 @@ class QuadrupletInteraction(nn.Module):
         rbf_W1, sph_rows = sbf
         x = EfficientInteractionBilinear(
             self.emb_size_quad, rbf_W1.shape[1], self.emb_size_bilinear,
-            implementation=self.implementation, name="mlp_sbf",
+            implementation=self.implementation, dtype=self.dtype, name="mlp_sbf",
         )(rbf_W1, sph_rows, x_db, id4_reduce_ca, quad_row_splits,
           mask=masks["quad"])
         if self.ep_axis:
@@ -81,9 +83,9 @@ class QuadrupletInteraction(nn.Module):
         )
 
         x_ca = Dense(self.emb_size_edge, activation=self.activation,
-                     name="up_projection_ca")(x)
+                     dtype=self.dtype, name="up_projection_ca")(x)
         x_ac = Dense(self.emb_size_edge, activation=self.activation,
-                     name="up_projection_ac")(x)
+                     dtype=self.dtype, name="up_projection_ac")(x)
         x_ac = x_ac[id_swap]
         return (x_ca + x_ac) * _INV_SQRT2
 
@@ -98,18 +100,20 @@ class TripletInteraction(nn.Module):
     scale_prefix: str = "TripInteraction_1"
     implementation: str = "auto"
     ep_axis: Optional[str] = None
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, m, rbf3, cbf3, trip_row_splits, id_swap, id3_expand_ba,
                  id3_reduce_ca, masks, halo=None):
-        x_ba = Dense(self.emb_size_edge, activation=self.activation, name="dense_ba")(m)
+        x_ba = Dense(self.emb_size_edge, activation=self.activation,
+                     dtype=self.dtype, name="dense_ba")(m)
 
-        x_ba2 = x_ba * Dense(self.emb_size_edge, name="mlp_rbf")(rbf3)
+        x_ba2 = x_ba * Dense(self.emb_size_edge, dtype=self.dtype, name="mlp_rbf")(rbf3)
         x_ba = ScalingFactor(self.scale_prefix + "_had_rbf", name="scale_rbf")(
             x_ba, x_ba2, mask_ref=masks["edge"], mask_y=masks["edge"]
         )
         x_ba = Dense(self.emb_size_trip, activation=self.activation,
-                     name="down_projection")(x_ba)
+                     dtype=self.dtype, name="down_projection")(x_ba)
 
         # halo mode: one all_to_all fetches the remote edge rows local
         # triplets reference, then the (remapped) expand gather is local
@@ -121,7 +125,7 @@ class TripletInteraction(nn.Module):
         rbf_W1, sph_rows = cbf3
         x = EfficientInteractionBilinear(
             self.emb_size_trip, rbf_W1.shape[1], self.emb_size_bilinear,
-            implementation=self.implementation, name="mlp_cbf",
+            implementation=self.implementation, dtype=self.dtype, name="mlp_cbf",
         )(rbf_W1, sph_rows, x_ba, id3_reduce_ca, trip_row_splits,
           mask=masks["trip"])
         if self.ep_axis:
@@ -133,9 +137,9 @@ class TripletInteraction(nn.Module):
         )
 
         x_ca = Dense(self.emb_size_edge, activation=self.activation,
-                     name="up_projection_ca")(x)
+                     dtype=self.dtype, name="up_projection_ca")(x)
         x_ac = Dense(self.emb_size_edge, activation=self.activation,
-                     name="up_projection_ac")(x)
+                     dtype=self.dtype, name="up_projection_ac")(x)
         x_ac = x_ac[id_swap]
         return (x_ca + x_ac) * _INV_SQRT2
 
@@ -161,11 +165,12 @@ class InteractionBlock(nn.Module):
     implementation: str = "auto"
     ep_axis: Optional[str] = None
     ep_halo: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, h, m, basis, indices, masks):
         x_ca_skip = Dense(self.emb_size_edge, activation=self.activation,
-                          name="dense_ca")(m)
+                          dtype=self.dtype, name="dense_ca")(m)
 
         # halo (rung 2b) mode: rows reduce onto LOCAL edges (no rung-2a psum
         # of bilinear outputs); expand gathers go through halo all_to_alls
@@ -190,6 +195,7 @@ class InteractionBlock(nn.Module):
             scale_prefix=f"TripInteraction_{self.block_nr}",
             implementation=self.implementation,
             ep_axis=sub_ep_axis,
+            dtype=self.dtype,
             name="trip_interaction",
         )(
             m, basis["rbf3"], basis["cbf3"], indices["trip_row_splits"],
@@ -206,6 +212,7 @@ class InteractionBlock(nn.Module):
                 scale_prefix=f"QuadInteraction_{self.block_nr}",
                 implementation=self.implementation,
                 ep_axis=sub_ep_axis,
+                dtype=self.dtype,
                 name="quad_interaction",
             )(
                 m, basis["rbf4"], basis["cbf4"], basis["sbf4"],
@@ -219,11 +226,11 @@ class InteractionBlock(nn.Module):
 
         for i in range(self.num_before_skip):
             x = ResidualLayer(self.emb_size_edge, activation=self.activation,
-                              name=f"res_bef_skip_{i}")(x)
+                              dtype=self.dtype, name=f"res_bef_skip_{i}")(x)
         m = (m + x) * _INV_SQRT2
         for i in range(self.num_after_skip):
             m = ResidualLayer(self.emb_size_edge, activation=self.activation,
-                              name=f"res_aft_skip_{i}")(m)
+                              dtype=self.dtype, name=f"res_aft_skip_{i}")(m)
 
         h2 = AtomUpdateBlock(
             emb_size_atom=self.emb_size_atom,
@@ -232,14 +239,15 @@ class InteractionBlock(nn.Module):
             activation=self.activation,
             scale_name=f"AtomUpdate_{self.block_nr}_sum",
             psum_axis=self.ep_axis if self.ep_halo else None,
+            dtype=self.dtype,
             name="atom_update",
         )(h, m, basis["rbf_h"], indices["id_a"], masks["edge"], masks["atom"])
         h = (h + h2) * _INV_SQRT2
 
         m2 = EdgeEmbedding(self.emb_size_edge, activation=self.activation,
-                           name="concat_layer")(h, m, indices["id_c"], indices["id_a"])
+                           dtype=self.dtype, name="concat_layer")(h, m, indices["id_c"], indices["id_a"])
         for i in range(self.num_concat):
             m2 = ResidualLayer(self.emb_size_edge, activation=self.activation,
-                               name=f"res_m_{i}")(m2)
+                               dtype=self.dtype, name=f"res_m_{i}")(m2)
         m = (m + m2) * _INV_SQRT2
         return h, m

@@ -10,7 +10,7 @@ uses ('bias', 'atom_emb', 'frequencies', 'out_energy', 'out_forces').
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -38,12 +38,16 @@ def _resolve_activation(activation: Optional[str]) -> Optional[Callable]:
 
 class Dense(nn.Module):
     """Dense layer, bias-free by default, he_orthogonal init, optional
-    ScaledSiLU (reference base_layers.py:5-48)."""
+    ScaledSiLU (reference base_layers.py:5-48).
+
+    `dtype` is the flax compute dtype: params are stored fp32 and cast to
+    it per-call (bf16 mixed-precision mode, ModelConfig.compute_dtype)."""
 
     features: int
     activation: Optional[str] = None
     use_bias: bool = False
     kernel_init: Callable = he_orthogonal
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -52,6 +56,7 @@ class Dense(nn.Module):
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
         )(x)
         act = _resolve_activation(self.activation)
         return act(x) if act else x
@@ -64,12 +69,14 @@ class ResidualLayer(nn.Module):
     units: int
     activation: Optional[str] = None
     n_layers: int = 2
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         h = x
         for i in range(self.n_layers):
-            h = Dense(self.units, activation=self.activation, name=f"dense_{i}")(h)
+            h = Dense(self.units, activation=self.activation, dtype=self.dtype,
+                      name=f"dense_{i}")(h)
         return (x + h) * (2.0**-0.5)
 
 
@@ -78,11 +85,13 @@ class AtomEmbedding(nn.Module):
     (reference embedding_block.py:7-34)."""
 
     emb_size: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, Z):
         table = self.param("embeddings", atom_embedding_init, (93, self.emb_size))
-        return table[Z - 1]
+        out = table[Z - 1]
+        return out.astype(self.dtype) if self.dtype is not None else out
 
 
 class EdgeEmbedding(nn.Module):
@@ -91,6 +100,7 @@ class EdgeEmbedding(nn.Module):
 
     features: int
     activation: Optional[str] = None
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, h, m_rbf, id_first, id_second):
@@ -98,7 +108,8 @@ class EdgeEmbedding(nn.Module):
         # (edge_emb(h, rbf, id_c, id_a) -> [h[id_c], h[id_a], rbf];
         # embedding_block.py:63-75, gemnet.py:529, interaction_block.py:226)
         cat = jnp.concatenate([h[id_first], h[id_second], m_rbf], axis=-1)
-        return Dense(self.features, activation=self.activation, name="dense")(cat)
+        return Dense(self.features, activation=self.activation, dtype=self.dtype,
+                     name="dense")(cat)
 
 
 class ScalingFactor(nn.Module):
@@ -120,10 +131,12 @@ class ScalingFactor(nn.Module):
         scale = self.variable(
             SCALE_COLLECTION, self.scale_name, lambda: jnp.asarray(1.0, jnp.float32)
         )
-        y = y * scale.value
+        # cast the fp32 scale down rather than letting promotion upcast y
+        # (bf16 compute mode must stay bf16 through the multiply)
+        y = y * scale.value.astype(y.dtype)
 
         def masked_feature_var(t, mask):
-            t2 = t.reshape(t.shape[0], -1)
+            t2 = t.reshape(t.shape[0], -1).astype(jnp.float32)
             if mask is None:
                 n = jnp.asarray(t2.shape[0], t2.dtype)
                 mean = jnp.mean(t2, axis=0)
@@ -155,6 +168,7 @@ class EfficientInteractionDownProjection(nn.Module):
     num_spherical: int
     num_radial: int
     emb_size_interm: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, rbf_env):
@@ -164,6 +178,9 @@ class EfficientInteractionDownProjection(nn.Module):
             he_orthogonal,
             (self.num_spherical, self.num_radial, self.emb_size_interm),
         )
+        if self.dtype is not None:
+            rbf_env = rbf_env.astype(self.dtype)
+            w = w.astype(self.dtype)
         return bil_ops.down_projection(rbf_env, w)
 
 
@@ -175,6 +192,7 @@ class EfficientInteractionBilinear(nn.Module):
     emb_size_interm: int
     units_out: int
     implementation: str = "auto"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, rbf_W1, sph_rows, m, id_reduce, row_splits, mask=None):
@@ -183,6 +201,8 @@ class EfficientInteractionBilinear(nn.Module):
             he_orthogonal,
             (self.emb_size, self.emb_size_interm, self.units_out),
         )
+        if self.dtype is not None:
+            w = w.astype(self.dtype)
         return bil_ops.bilinear(
             rbf_W1, sph_rows, m, id_reduce, row_splits, w, mask=mask,
             implementation=self.implementation,
@@ -200,11 +220,12 @@ class AtomUpdateBlock(nn.Module):
     # halo (edge-partitioned) mode: each shard's segment-sum covers only its
     # local edges; psum the small (nAtoms, emb) accumulator (parallel/halo.py)
     psum_axis: Optional[str] = None
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, h, m, rbf, id_target, edge_mask, atom_mask):
         n_atoms = h.shape[0]
-        mlp_rbf = Dense(self.emb_size_edge, name="dense_rbf")(rbf)
+        mlp_rbf = Dense(self.emb_size_edge, dtype=self.dtype, name="dense_rbf")(rbf)
         x = m * mlp_rbf
         x2 = masked_segment_sum(x, id_target, n_atoms, mask=edge_mask)
         if self.psum_axis:
@@ -214,10 +235,12 @@ class AtomUpdateBlock(nn.Module):
         x = ScalingFactor(self.scale_name, name="scale_sum")(
             m, x2, mask_ref=edge_mask, mask_y=atom_mask
         )
-        x = Dense(self.emb_size_atom, activation=self.activation, name="dense_0")(x)
+        x = Dense(self.emb_size_atom, activation=self.activation, dtype=self.dtype,
+                  name="dense_0")(x)
         for i in range(self.n_hidden):
             x = ResidualLayer(
-                self.emb_size_atom, activation=self.activation, name=f"res_{i}"
+                self.emb_size_atom, activation=self.activation, dtype=self.dtype,
+                name=f"res_{i}"
             )(x)
         return x
 
@@ -235,6 +258,7 @@ class OutputBlock(nn.Module):
     output_init: str = "HeOrthogonal"
     scale_prefix: str = "OutBlock_0"
     psum_axis: Optional[str] = None  # see AtomUpdateBlock
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, h, m, rbf, id_target, edge_mask, atom_mask):
@@ -247,7 +271,7 @@ class OutputBlock(nn.Module):
         if self.output_init.lower() not in ("heorthogonal", "zeros"):
             raise ValueError(f"Unknown output_init: {self.output_init}")
 
-        rbf_mlp = Dense(self.emb_size_edge, name="dense_rbf")(rbf)
+        rbf_mlp = Dense(self.emb_size_edge, dtype=self.dtype, name="dense_rbf")(rbf)
         x = m * rbf_mlp
 
         # ---- energy ----
@@ -259,13 +283,16 @@ class OutputBlock(nn.Module):
         x_E = ScalingFactor(self.scale_prefix + "_sum", name="scale_sum")(
             m, x_E, mask_ref=edge_mask, mask_y=atom_mask
         )
-        x_E = Dense(self.emb_size_atom, activation=self.activation, name="dense_0")(x_E)
+        x_E = Dense(self.emb_size_atom, activation=self.activation, dtype=self.dtype,
+                    name="dense_0")(x_E)
         for i in range(self.n_hidden):
             x_E = ResidualLayer(
-                self.emb_size_atom, activation=self.activation, name=f"res_{i}"
+                self.emb_size_atom, activation=self.activation, dtype=self.dtype,
+                name=f"res_{i}"
             )(x_E)
         # no bias: atoms without edges must predict exactly zero
-        x_E = Dense(self.num_targets, kernel_init=out_init, name="out_energy")(x_E)
+        x_E = Dense(self.num_targets, kernel_init=out_init, dtype=self.dtype,
+                    name="out_energy")(x_E)
 
         # ---- forces ----
         if self.direct_forces:
@@ -273,13 +300,16 @@ class OutputBlock(nn.Module):
                 m, x, mask_ref=edge_mask, mask_y=edge_mask
             )
             x_F = Dense(
-                self.emb_size_edge, activation=self.activation, name="force_dense_0"
+                self.emb_size_edge, activation=self.activation, dtype=self.dtype,
+                name="force_dense_0"
             )(x_F)
             for i in range(self.n_hidden):
                 x_F = ResidualLayer(
-                    self.emb_size_edge, activation=self.activation, name=f"force_res_{i}"
+                    self.emb_size_edge, activation=self.activation, dtype=self.dtype,
+                    name=f"force_res_{i}"
                 )(x_F)
-            x_F = Dense(self.num_targets, kernel_init=out_init, name="out_forces")(x_F)
+            x_F = Dense(self.num_targets, kernel_init=out_init, dtype=self.dtype,
+                        name="out_forces")(x_F)
         else:
             x_F = jnp.zeros((m.shape[0], self.num_targets), x_E.dtype)
         return x_E, x_F

@@ -60,7 +60,9 @@ def bilinear(
         m = m * mask.astype(m.dtype)[:, None]
     sum_k = segment_outer_sum(
         sph_rows, m, id_reduce, row_splits, n_edges, implementation
-    )  # (S, E, M)
+    )  # (S, E, M) — always fp32 accumulated
+    # finish in the compute dtype (bf16 mode keeps these on the fast MXU path)
+    sum_k = sum_k.astype(rbf_W1.dtype)
     # (E, I, S) @ (S, E, M) -> (E, I, M)
     rbf_w1_sum_k = jnp.einsum("eis,sem->eim", rbf_W1, sum_k)
     # contract (I, M) with weight (M, I, O)
@@ -89,6 +91,7 @@ def hadamard(
         m = m * mask.astype(m.dtype)[:, None]
     sum_k = segment_outer_sum(
         sph_rows, m, id_reduce, row_splits, n_edges, implementation
-    )  # (S, E, M)
+    )  # (S, E, M) — always fp32 accumulated
+    sum_k = sum_k.astype(rbf_W1.dtype)
     inner = jnp.einsum("eis,sem->eim", rbf_W1, sum_k)
     return jnp.einsum("eim,mi->em", inner, weight[:, 0, :])

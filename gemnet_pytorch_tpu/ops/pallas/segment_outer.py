@@ -54,6 +54,21 @@ ROW_BLOCK = 512  # rows per DMA chunk
 Implementation = Literal["auto", "pallas", "xla"]
 
 
+def _precision_for(dtype) -> jax.lax.Precision:
+    """MXU contraction precision from the row-data dtype. fp32 inputs get
+    HIGHEST: Mosaic runs the multi-pass bf16 decomposition so pallas == the
+    exact-VPU XLA fallback (the v5e MXU otherwise rounds inputs to bf16,
+    ~3e-3 rel err on hardware, observed by scripts/tpu_checks.py); the
+    kernels are DMA/HBM-bound at model shapes so the extra passes are nearly
+    free. bf16 inputs (compute_dtype="bfloat16") get DEFAULT — a single MXU
+    pass is already exact for bf16 operands. Accumulation is fp32 always."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def _use_pallas(impl: Implementation) -> bool:
     if impl == "pallas":
         return True
@@ -68,16 +83,20 @@ def _use_pallas(impl: Implementation) -> bool:
 
 
 def _outer_sum_xla(a, b, seg_ids, n_segments):
-    outer = (a[:, :, None] * b[:, None, :]).reshape(a.shape[0], -1)
+    # fp32 products + accumulation regardless of input dtype (output contract:
+    # (S, nSeg, M) float32, matching the Pallas kernels' fp32 accumulators)
+    outer = (
+        a.astype(jnp.float32)[:, :, None] * b.astype(jnp.float32)[:, None, :]
+    ).reshape(a.shape[0], -1)
     out = jax.ops.segment_sum(outer, seg_ids, num_segments=n_segments)
     return out.reshape(n_segments, a.shape[1], b.shape[1]).transpose(1, 0, 2)
 
 
 def _gather_contract_xla(cot, a, b, seg_ids):
     cot_rows = cot[:, seg_ids, :]  # (S, N, M)
-    da = jnp.einsum("stm,tm->ts", cot_rows, b)
-    db = jnp.einsum("stm,ts->tm", cot_rows, a)
-    return da, db
+    da = jnp.einsum("stm,tm->ts", cot_rows, b.astype(cot.dtype))
+    db = jnp.einsum("stm,ts->tm", cot_rows, a.astype(cot.dtype))
+    return da.astype(a.dtype), db.astype(b.dtype)
 
 
 # ======================================================================
@@ -86,7 +105,7 @@ def _gather_contract_xla(cot, a, b, seg_ids):
 
 
 def _fwd_kernel(splits_ref, packed_ref, out_ref, pk_s, acc, sems,
-                *, S, M, Sp, Mp):
+                *, S, M, Sp, Mp, precision):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -134,7 +153,7 @@ def _fwd_kernel(splits_ref, packed_ref, out_ref, pk_s, acc, sems,
         weighted = (sel3 * a3).reshape(S * SEG_BLOCK, ROW_BLOCK)
         acc[...] += jax.lax.dot_general(
             weighted, b_c[:M], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         ).reshape(S, SEG_BLOCK, M)
         return 0
 
@@ -176,7 +195,9 @@ def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, interpret=False):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_fwd_kernel, S=S, M=M, Sp=Sp, Mp=Mp)
+    kernel = functools.partial(
+        _fwd_kernel, S=S, M=M, Sp=Sp, Mp=Mp, precision=_precision_for(a.dtype)
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -186,7 +207,8 @@ def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, interpret=False):
 
 
 def _bwd_kernel(splits_ref, ids_ref, a_ref, b_ref, cot_ref, da_in, db_in,
-                da_ref, db_ref, a_s, b_s, ids_s, da_s, db_s, sems, *, S, M):
+                da_ref, db_ref, a_s, b_s, ids_s, da_s, db_s, sems,
+                *, S, M, precision):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -218,7 +240,8 @@ def _bwd_kernel(splits_ref, ids_ref, a_ref, b_ref, cot_ref, da_in, db_in,
         cot_all = cot_ref[...].reshape(S * SEG_BLOCK, M)
         # da[s, t] = sum_w sel[w,t] * (cot @ b)[s*W+w, t]  — one MXU call
         d_swb = jax.lax.dot(
-            cot_all, b_c[:M], preferred_element_type=jnp.float32
+            cot_all, b_c[:M], preferred_element_type=jnp.float32,
+            precision=precision,
         ).reshape(S, SEG_BLOCK, ROW_BLOCK)
         sel3 = jax.lax.broadcast_in_dim(
             sel, (S, SEG_BLOCK, ROW_BLOCK), (1, 2))
@@ -229,7 +252,7 @@ def _bwd_kernel(splits_ref, ids_ref, a_ref, b_ref, cot_ref, da_in, db_in,
         p_all = (sel3 * a3).reshape(S * SEG_BLOCK, ROW_BLOCK)
         db_s[:M] += jax.lax.dot_general(
             cot_all, p_all, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )  # (M, B)
         wr_a = pltpu.make_async_copy(da_s, da_ref.at[:, pl.ds(row0, ROW_BLOCK)], sems.at[3])
         wr_b = pltpu.make_async_copy(db_s, db_ref.at[:, pl.ds(row0, ROW_BLOCK)], sems.at[4])
@@ -250,8 +273,12 @@ def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, interpret=False):
     Sp = -(-S // 8) * 8
     Mp = -(-M // 8) * 8
     pad = ROW_BLOCK
-    a_k = jnp.zeros((Sp, n + pad), a.dtype).at[:S, :n].set(a.T)
-    b_k = jnp.zeros((Mp, n + pad), b.dtype).at[:M, :n].set(b.T)
+    # kernel streams are fp32 regardless of input dtype (scratch/DMA layout);
+    # precision of the MXU contractions follows the ORIGINAL input dtype
+    a_k = jnp.zeros((Sp, n + pad), jnp.float32).at[:S, :n].set(
+        a.T.astype(jnp.float32))
+    b_k = jnp.zeros((Mp, n + pad), jnp.float32).at[:M, :n].set(
+        b.T.astype(jnp.float32))
     ids_k = jnp.concatenate(
         [seg_ids.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**30))]
     ).reshape(1, -1)
@@ -284,7 +311,9 @@ def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, interpret=False):
             pltpu.SemaphoreType.DMA((5,)),
         ],
     )
-    kernel = functools.partial(_bwd_kernel, S=S, M=M)
+    kernel = functools.partial(
+        _bwd_kernel, S=S, M=M, precision=_precision_for(a.dtype)
+    )
     da, db = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -295,7 +324,8 @@ def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, interpret=False):
         input_output_aliases={5: 0, 6: 1},  # da0/db0 (indices incl. prefetch arg)
         interpret=interpret,
     )(row_splits.astype(jnp.int32), ids_k, a_k, b_k, cot, da0, db0)
-    return da[:S, :n].T, db[:M, :n].T
+    # grads must match the primal dtypes (custom-VJP contract)
+    return da[:S, :n].T.astype(a.dtype), db[:M, :n].T.astype(b.dtype)
 
 
 # ======================================================================

@@ -21,7 +21,13 @@ def masked_segment_sum(
     num_segments: int,
     mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """segment-sum with padded rows contributing exact zeros."""
+    """segment-sum with padded rows contributing exact zeros.
+
+    Accumulates in (at least) fp32: bf16 inputs (compute_dtype="bfloat16")
+    are upcast before the reduction — long per-atom sums in bf16 lose
+    mantissa — and the result is returned in fp32."""
+    acc_dtype = jnp.promote_types(data.dtype, jnp.float32)
+    data = data.astype(acc_dtype)
     if mask is not None:
         data = data * mask.astype(data.dtype).reshape((-1,) + (1,) * (data.ndim - 1))
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
@@ -36,9 +42,9 @@ def masked_segment_mean(
     """segment-mean over real rows only (count from mask, clamped to >=1)."""
     total = masked_segment_sum(data, segment_ids, num_segments, mask)
     ones = (
-        mask.astype(data.dtype)
+        mask.astype(total.dtype)
         if mask is not None
-        else jnp.ones(data.shape[0], data.dtype)
+        else jnp.ones(data.shape[0], total.dtype)
     )
     counts = jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
     counts = jnp.maximum(counts, 1.0)

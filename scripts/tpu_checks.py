@@ -125,6 +125,10 @@ def verify():
 
     cfg_dict = load_yaml_config("config.yaml")
     cfg = ModelConfig.from_dict(cfg_dict)  # GemNet-Q, -dE/dR forces
+    # matmul_precision="highest": the surrounding Dense/einsum matmuls must
+    # be exact fp32 or their bf16 MXU rounding amplifies the kernels' ~1e-7
+    # difference to bf16-ulp noise and the A/B can't resolve kernel bugs
+    cfg = dataclasses.replace(cfg, matmul_precision="highest")
     _, _, batch = make_bench_batch(cfg)
     model_p = make_model(dataclasses.replace(cfg, bilinear_implementation="pallas"))
     model_x = make_model(dataclasses.replace(cfg, bilinear_implementation="xla"))
