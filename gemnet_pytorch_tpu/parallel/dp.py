@@ -106,9 +106,26 @@ def make_dp_eval_step(trainer: Trainer, mesh: Mesh):
 
 
 def shard_batch_to_mesh(stacked, mesh: Mesh):
-    sharding = NamedSharding(mesh, P(AXIS))
+    """Put a host-stacked batch onto the dp mesh.
+
+    Single-process: `stacked` has the full (n_dev, ...) leading axis.
+    Multi-process (jax.distributed initialized, mesh spans all processes):
+    `stacked` holds only this process's LOCAL shards
+    (n_local_dev = n_dev / process_count leading axis) and the global array
+    is assembled across hosts (multihost_utils)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        def put(v):
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(v), mesh, P(AXIS)
+            )
+    else:
+        sharding = NamedSharding(mesh, P(AXIS))
+
+        def put(v):
+            return jax.device_put(jnp.asarray(v), sharding)
+
     if isinstance(stacked, dict):
-        return {
-            k: jax.device_put(jnp.asarray(v), sharding) for k, v in stacked.items()
-        }
-    return jax.device_put(jnp.asarray(stacked), sharding)
+        return {k: put(v) for k, v in stacked.items()}
+    return put(stacked)

@@ -40,7 +40,17 @@ def parse_args():
     p.add_argument("--restart", default=None)
     p.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
     p.add_argument("--dp", type=int, default=0,
-                   help="data-parallel over N devices (0 = single device)")
+                   help="data-parallel over N devices (0 = single device; "
+                   "multihost: GLOBAL device count, defaults to all)")
+    # multi-host (jax.distributed over DCN): every process runs this same
+    # driver with its own --process-id; the dp mesh spans all processes and
+    # each process feeds only its local shards (parallel/dp.py assembles the
+    # global batch). Writers/checkpoints are process-0 only. Smoke-tested in
+    # tests/test_multihost.py. Reference: none (single-GPU, train_seml.py).
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (enables multi-host mode)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--synthetic-molecules", type=int, default=512)
     return p.parse_args()
 
@@ -49,6 +59,21 @@ def main():
     args = parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    multihost = args.coordinator is not None
+    if multihost:
+        from gemnet_pytorch_tpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        if not args.dp:
+            args.dp = len(jax.devices())
+        assert args.dp == len(jax.devices()), (
+            f"multihost --dp must equal the global device count "
+            f"({args.dp} != {len(jax.devices())})")
+    is_main = jax.process_index() == 0
 
     logging.basicConfig(
         level=logging.INFO,
@@ -88,13 +113,19 @@ def main():
 
     # ---- run directory (reference train_seml.py:116-137) ----
     if tcfg.restart in (None, "None"):
-        uid = "".join(
-            random.SystemRandom().choice(string.ascii_letters + string.digits)
-            for _ in range(6)
-        )
+        if multihost:
+            # every process must resolve the SAME directory: deterministic
+            # name (no per-process timestamp/uid)
+            uid, stamp = "multihost", f"np{jax.process_count()}"
+        else:
+            uid = "".join(
+                random.SystemRandom().choice(string.ascii_letters + string.digits)
+                for _ in range(6)
+            )
+            stamp = datetime.now().strftime('%Y%m%d_%H%M%S')
         directory = os.path.join(
             tcfg.logdir,
-            f"{datetime.now().strftime('%Y%m%d_%H%M%S')}_{uid}_"
+            f"{stamp}_{uid}_"
             f"{os.path.basename(tcfg.dataset or 'synthetic')}_{tcfg.comment}",
         )
     else:
@@ -111,7 +142,10 @@ def main():
     # ---- data ----
     dataset = tcfg.dataset
     if not dataset or not os.path.exists(dataset):
-        dataset = os.path.join(directory, "synthetic_train.npz")
+        # per-process filename: the seeded content is identical, but
+        # concurrent multihost writes to one path would race
+        suffix = f"_p{jax.process_index()}" if multihost else ""
+        dataset = os.path.join(directory, f"synthetic_train{suffix}.npz")
         logging.warning("dataset missing; generating synthetic data at %s", dataset)
         make_dataset(dataset, n_molecules=args.synthetic_molecules, seed=tcfg.data_seed)
     container = DataContainer(
@@ -161,10 +195,19 @@ def main():
 
     from gemnet_pytorch_tpu.training.metrics import make_writer
 
-    writer = make_writer(log_dir)
+    # non-main processes log to a sidecar dir (same metrics are computed
+    # everywhere — plateau/early-stop must stay in lockstep — but only
+    # process 0's stream is the record)
+    writer = make_writer(log_dir if is_main
+                         else os.path.join(directory, f"logs_p{jax.process_index()}"))
     train_metrics = Metrics("train", trainer.tracked_metrics)
     val_metrics = Metrics("val", trainer.tracked_metrics)
-    best_metrics = BestMetrics(best_dir, val_metrics, assert_exist=False)
+    # non-main: sidecar best file (in-memory state stays in lockstep for
+    # plateau/early-stop; only process 0's npz is the record)
+    best_state_dir = best_dir if is_main else os.path.join(
+        directory, f"best_p{jax.process_index()}")
+    os.makedirs(best_state_dir, exist_ok=True)
+    best_metrics = BestMetrics(best_state_dir, val_metrics, assert_exist=False)
 
     step_init = 0
     if os.path.exists(ckpt_path):
@@ -183,9 +226,15 @@ def main():
         if args.dp:
             if dp_step is None:
                 dp_step = make_dp_train_step(trainer, mesh)
-            stacked = shard_batch_to_mesh(
-                stack_shards([next(train_iter) for _ in range(args.dp)]), mesh
-            )
+            # multihost: every process draws the SAME args.dp global batches
+            # (seeded identically) and ships only its local slice; the global
+            # array is assembled in shard_batch_to_mesh
+            shards = [next(train_iter) for _ in range(args.dp)]
+            if multihost:
+                n_local = len(jax.local_devices())
+                lo = jax.process_index() * n_local
+                shards = shards[lo:lo + n_local]
+            stacked = shard_batch_to_mesh(stack_shards(shards), mesh)
             state, _, _ = dp_step(state, stacked, jnp.asarray(plateau.lr_scale))
         else:
             state, _ = trainer.train_on_batch(state, next(train_iter), plateau.lr_scale)
@@ -195,7 +244,7 @@ def main():
         if step % 10 == 0:
             writer.add_scalar("lr_scale", plateau.lr_scale, step)
 
-        if step % tcfg.save_interval == 0:
+        if step % tcfg.save_interval == 0 and is_main:
             save_checkpoint(ckpt_path, state, plateau)
 
         if step % tcfg.evaluation_interval == 0:
@@ -216,7 +265,8 @@ def main():
                 trainer.test_on_batch(state, next(val_iter), val_metrics, use_ema=True)
             if val_metrics.loss < best_metrics.loss:
                 best_metrics.update(step, val_metrics)
-                save_params(best_path, state.ema_params, state.scales)
+                if is_main:
+                    save_params(best_path, state.ema_params, state.scales)
             best_metrics.write(writer, step)
             logging.info(
                 "%d/%d (epoch %d): %s",
@@ -236,7 +286,8 @@ def main():
                 logging.info("early stopping at step %d", step)
                 break
 
-    save_checkpoint(ckpt_path, state, plateau)
+    if is_main:
+        save_checkpoint(ckpt_path, state, plateau)
     logging.info("done; best: %s", dict(best_metrics.items()))
     return {f"{k}_best": v for k, v in best_metrics.items()}
 
