@@ -2,15 +2,27 @@
 """Benchmark: triplet+quadruplet aggregation throughput per chip.
 
 Runs the flagship GemNet-Q configuration (config.yaml sizes, energy-gradient
-forces) on a synthetic COLL-like batch and measures the steady-state jitted
-FULL TRAINING STEP (loss with force term, double backward, optimizer, EMA) —
-the production hot path — reported as (real triplets + real quadruplets)
-processed per second per chip, the BASELINE.json headline metric. Inference
-forward throughput is logged to stderr. Prints ONE JSON line on stdout.
+forces) and measures the steady-state jitted FULL TRAINING STEP (loss with
+force term, double backward, optimizer, EMA) — the production hot path —
+reported as (real triplets + real quadruplets) processed per second per chip,
+the BASELINE.json headline metric, on TWO workloads:
+
+- small: batch of 32 COLL-like molecules (8-12 atoms, ~2.9k edges, ~183k
+  quads) — the headline number (vs_baseline tracks it across rounds);
+- large: 4 x 32-atom systems (~3.3k edges, ~2.3M quads, kmax4-heavy) — the
+  edge/row-dense regime that motivates edge partitioning (PARALLEL.md);
+  reported as "large_agg_per_s" in the same JSON line.
+
+Inference forward throughput is logged to stderr. Prints ONE JSON line on
+stdout.
 
 vs_baseline: the reference publishes no in-repo numbers (BASELINE.md);
 the ratio is against this repo's recorded round-1 number (BENCH_BASE below)
 so progress across rounds is visible.
+
+--compute-dtype bfloat16 benches the bf16 mixed-precision mode (bf16 layer
+compute + bf16 Pallas streams, fp32 accumulation/masters) for the A/B
+record; the flagship headline stays fp32 (reference-parity numerics).
 """
 
 from __future__ import annotations
@@ -28,114 +40,146 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    import argparse
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--profile", default=None,
-                    help="write a jax.profiler trace of the steady-state "
-                    "train steps to this directory")
-    args = ap.parse_args()
-
-    import jax
+def make_batch(cfg, kind: str):
+    """(device batch, n_real_rows, description) for a bench workload."""
     import jax.numpy as jnp
 
-    from gemnet_pytorch_tpu.config import ModelConfig, load_yaml_config
     from gemnet_pytorch_tpu.data.graph import build_graph
     from gemnet_pytorch_tpu.data.padding import PadDims, _scale_graph_dims, pad_batch
-    from gemnet_pytorch_tpu.data.synthetic import random_molecule
-    from gemnet_pytorch_tpu.models import energy_and_forces, make_model
+    from gemnet_pytorch_tpu.data.synthetic import _toy_energy_forces, random_molecule
 
-    from gemnet_pytorch_tpu.config import TrainConfig
-    from gemnet_pytorch_tpu.training import Trainer
-
-    cfg_dict = load_yaml_config("config.yaml")
-    cfg = ModelConfig.from_dict(cfg_dict)  # canonical: direct_forces=False
-    tcfg = TrainConfig.from_dict(cfg_dict)
-    log("devices:", jax.devices())
-
-    # batch of 32 molecules, 8-12 atoms (COLL-like sizes)
     rng = np.random.default_rng(0)
-    mols = [random_molecule(rng, int(rng.integers(8, 13))) for _ in range(32)]
+    if kind == "small":
+        # batch of 32 molecules, 8-12 atoms (COLL-like sizes)
+        mols = [random_molecule(rng, int(rng.integers(8, 13))) for _ in range(32)]
+    else:  # large: few big systems -> quad/kmax-heavy graph
+        mols = [random_molecule(rng, 32) for _ in range(4)]
     N = np.array([len(z) for z, _ in mols])
     Z = np.concatenate([z for z, _ in mols])
     R = np.concatenate([r for _, r in mols])
     g = build_graph(R, N, cfg.cutoff, cfg.int_cutoff, triplets_only=False)
-    base = PadDims(n_mol=32, n_atoms=16, n_edges=128, n_triplets=512, kmax3=4,
-                   n_int_edges=64, n_intm=512, n_quads=512, kmax4=4)
-    dims = base.grow_to(_scale_graph_dims(g, 1.05), 32, len(Z))
-    from gemnet_pytorch_tpu.data.synthetic import _toy_energy_forces
+    base = PadDims(n_mol=len(mols), n_atoms=16, n_edges=128, n_triplets=512,
+                   kmax3=4, n_int_edges=64, n_intm=512, n_quads=512, kmax4=4)
+    dims = base.grow_to(_scale_graph_dims(g, 1.05), len(mols), len(Z))
     EF = [_toy_energy_forces(z, r) for z, r in mols]
     E_t = np.array([e for e, _ in EF], np.float32)
     F_t = np.concatenate([f for _, f in EF])
     batch_np = pad_batch(g, Z, R, dims, E=E_t, F=F_t, triplets_only=False)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     n_real = g.n_triplets + g.n_quads
-    log(f"batch: {g.n_edges} edges, {g.n_triplets} triplets, {g.n_quads} quads "
-        f"(padded {dims.n_triplets}/{dims.n_quads}, kmax4={dims.kmax4})")
+    desc = (f"{g.n_edges} edges, {g.n_triplets} triplets, {g.n_quads} quads "
+            f"(padded {dims.n_triplets}/{dims.n_quads}, kmax4={dims.kmax4})")
+    return batch, n_real, desc
+
+
+def best_window(fn, iters=10, windows=3):
+    """min over windows — the shared TPU pool has ~2x contention noise."""
+    import jax
+
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace of the steady-state "
+                    "small-workload train steps to this directory")
+    ap.add_argument("--compute-dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="override config.yaml compute dtype (bf16 A/B)")
+    ap.add_argument("--skip-large", action="store_true",
+                    help="only the small headline workload")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.config import ModelConfig, TrainConfig, load_yaml_config
+    from gemnet_pytorch_tpu.models import energy_and_forces, make_model
+    from gemnet_pytorch_tpu.training import Trainer
+
+    cfg_dict = load_yaml_config("config.yaml")
+    if args.compute_dtype:
+        cfg_dict["compute_dtype"] = args.compute_dtype
+    cfg = ModelConfig.from_dict(cfg_dict)  # canonical: direct_forces=False
+    tcfg = TrainConfig.from_dict(cfg_dict)
+    log("devices:", jax.devices(), " compute_dtype:", cfg.compute_dtype)
 
     model = make_model(cfg)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
-
-    @jax.jit
-    def forward(variables, batch):
-        E, F, _ = energy_and_forces(model, variables, batch)
-        return E, F
-
-    t0 = time.perf_counter()
-    E, F = forward(variables, batch)
-    jax.block_until_ready(E)
-    log(f"fwd compile+first run: {time.perf_counter() - t0:.1f}s")
-
-    def best_window(fn, iters=10, windows=3):
-        """min over windows — the shared TPU pool has ~2x contention noise."""
-        best = float("inf")
-        for _ in range(windows):
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fn()
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / iters)
-        return best
-
-    dt = best_window(lambda: forward(variables, batch)[0], iters=20)
-    log(f"fwd steady: {dt*1e3:.2f} ms/batch -> {n_real/dt:.3e} trip+quad/s")
-
-    # full training step (loss incl. -dE/dR forces, double backward, optimizer)
-    trainer = Trainer(model, tcfg)
-    state = trainer.init_state(dict(variables))
-    step = trainer.train_step_fn()
     lr = jnp.asarray(1.0, jnp.float32)
-    t0 = time.perf_counter()
-    state, metrics, _ = step(state, batch, lr)
-    jax.block_until_ready(metrics["loss"])
-    log(f"train compile+first step: {time.perf_counter() - t0:.1f}s")
-    def train_once():
-        nonlocal state
+    results = {}
+
+    for kind in (("small",) if args.skip_large else ("small", "large")):
+        batch, n_real, desc = make_batch(cfg, kind)
+        log(f"[{kind}] batch: {desc}")
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+        if kind == "small":
+            @jax.jit
+            def forward(variables, batch):
+                E, F, _ = energy_and_forces(model, variables, batch)
+                return E, F
+
+            t0 = time.perf_counter()
+            E, F = forward(variables, batch)
+            jax.block_until_ready(E)
+            log(f"[{kind}] fwd compile+first run: {time.perf_counter() - t0:.1f}s")
+            dt = best_window(lambda: forward(variables, batch)[0], iters=20)
+            log(f"[{kind}] fwd steady: {dt*1e3:.2f} ms/batch -> "
+                f"{n_real/dt:.3e} trip+quad/s")
+
+        # full training step (loss incl. -dE/dR forces, double backward, optimizer)
+        trainer = Trainer(model, tcfg)
+        state = trainer.init_state(dict(variables))
+        step = trainer.train_step_fn()
+        t0 = time.perf_counter()
         state, metrics, _ = step(state, batch, lr)
-        return metrics["loss"]
+        jax.block_until_ready(metrics["loss"])
+        log(f"[{kind}] train compile+first step: {time.perf_counter() - t0:.1f}s")
 
-    dt = best_window(train_once, iters=10)
-    per_sec = n_real / dt
-    log(f"train steady (best of 3 windows): {dt*1e3:.2f} ms/step "
-        f"-> {per_sec:.3e} trip+quad/s")
+        def train_once():
+            nonlocal state
+            state, metrics, _ = step(state, batch, lr)
+            return metrics["loss"]
 
-    if args.profile:
-        # after the timed window: in-process tracing costs ~10x on the
-        # tunneled runtime and must not skew the reported metric
-        jax.profiler.start_trace(args.profile)
-        for _ in range(5):
-            train_once()
-        jax.block_until_ready(state.params["frequencies"])
-        jax.profiler.stop_trace()
-        log(f"profiler trace written to {args.profile}")
+        dt = best_window(train_once, iters=10)
+        results[kind] = n_real / dt
+        log(f"[{kind}] train steady (best of 3 windows): {dt*1e3:.2f} ms/step "
+            f"-> {n_real/dt:.3e} trip+quad/s")
 
-    print(json.dumps({
+        if kind == "small" and args.profile:
+            # after the timed window: in-process tracing costs ~10x on the
+            # tunneled runtime and must not skew the reported metric
+            jax.profiler.start_trace(args.profile)
+            for _ in range(5):
+                train_once()
+            jax.block_until_ready(state.params["frequencies"])
+            jax.profiler.stop_trace()
+            log(f"profiler trace written to {args.profile}")
+
+        # free the trainer's compiled step before the next (bigger) workload
+        del trainer, state, step, variables
+
+    out = {
         "metric": "triplets+quads aggregated/sec/chip (GemNet-Q train step)",
-        "value": per_sec,
+        "value": results["small"],
         "unit": "agg/s/chip",
-        "vs_baseline": per_sec / BENCH_BASE,
-    }))
+        "vs_baseline": results["small"] / BENCH_BASE,
+    }
+    if "large" in results:
+        out["large_agg_per_s"] = results["large"]
+    if cfg.compute_dtype != "float32":
+        out["compute_dtype"] = cfg.compute_dtype
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

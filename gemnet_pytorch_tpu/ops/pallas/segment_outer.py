@@ -10,63 +10,141 @@ This replaces the reference's "efficient bilinear" dense construction
 efficient.py:171-189, basis_layers.py:145-162,281-295) and its batched
 matmul: on TPU the scatter-built (nEdges, Kmax, ·) blocks are HBM-bandwidth
 disasters (~4 ms each at bench shapes), while this kernel streams the sorted
-rows once and reduces them onto a small per-block accumulator with S one-hot
+rows once and reduces them onto a small per-block accumulator with one-hot
 MXU contractions. No padded dense ever touches HBM. The output is laid out
-(S, nSegments, M) — s-major — so each degree s is a clean (block, M) tile;
-the downstream radial contraction consumes it as einsum('eis,sem->eim').
+(S, nSegments, M) — s-major, so a W-segment block is one lane-aligned
+(S, W·M) DMA slice of the flattened view; the downstream radial contraction
+consumes it as einsum('eis,sem->eim').
 
-Kernel data layout: row data is staged feature-major ((S, N), (M, N), (1, N))
-so every DMA slices the lane dimension at ROW_BLOCK-aligned offsets, which is
-what Mosaic's (1,128)/(8,128) tilings require; the wrappers transpose at the
-boundary (a cheap XLA transpose vs. multi-ms scatters).
+Cost model / block sizing: the one-hot contraction does S·W·M MXU MACs per
+row for S·M useful ones — the FLOP amplification IS the segment-block width
+W. The round-1 kernels fixed W=32 and were MXU-bound at quad shapes (24
+quad-kernel calls ≈ 60% of the train step in the jax.profiler trace, round
+2). `_choose_blocks` now picks the smallest W ∈ {8,16,32} whose expected
+rows-per-grid-step (W · n/nSegments) still covers half a DMA chunk, so
+row-dense spaces (quadruplets: ~65 rows/edge ⇒ W=8) get a 4x MXU-work cut
+while row-sparse spaces (triplets: ~9 rows/edge ⇒ W=32) keep wide blocks and
+avoid re-reading mostly-empty chunks. (The backward additionally rounds W up
+until W·M is a lane-tile multiple — its cotangent DMA slices lanes.)
 
-Streaming contract (provided by data/padding.py):
-- `seg_ids` sorted ascending, padded rows carry the max id;
-- `row_splits[i]` = first row of segment block i (EDGE_BLOCK ids per block);
-- rows are streamed in ROW_BLOCK chunks; chunk reads may overhang a block's
-  row range — the one-hot filter makes overhang rows contribute zero, so
-  alignment rounding is safe.
+Kernel data layout: row data is staged feature-major ((S, N), (M, N), int32
+(1, N) ids) so every DMA slices the lane dimension at ROW_BLOCK-aligned
+offsets, which is what Mosaic's tilings require; the wrappers transpose at
+the boundary (a cheap XLA transpose vs. multi-ms scatters; XLA CSEs the
+repeated stagings of the same operand across a train step's ~48 calls). In
+bf16 mode (compute_dtype="bfloat16") the streams are staged AND contracted
+in bf16 — half the HBM traffic, single-pass MXU — while accumulation and
+the forward outputs stay fp32.
 
-The backward (`segment_gather_contract`) shares the structure: per segment
-block it holds the (S, seg_block, M) cotangent in VMEM and emits
+Forward kernel (`segment_outer_sum`): grid over segment blocks of W ids;
+each step streams its row range in double-buffered ROW_BLOCK chunks and
+reduces onto a VMEM accumulator. Per-step row ranges (splits at W-segment
+boundaries) are computed in-graph by a tiny `jnp.searchsorted` over the
+sorted ids, so W is a free kernel parameter, decoupled from the host-side
+EDGE_BLOCK batch layout. The `row_splits` argument of the public ops is
+kept as part of the batch layout contract (the ep partitioner and layout
+tests rely on it) but the kernels no longer consume it.
+
+Backward kernel (`segment_gather_contract`) emits
 
     da[t, s] = sum_m cot[s, seg(t), m] * b[t, m]
     db[t, m] = sum_s cot[s, seg(t), m] * a[t, s]
 
-accumulating into aliased zero-initialized outputs (grid steps run
-sequentially on a TPU core, so the boundary-chunk read-modify-writes are
-race-free). Both ops carry custom VJPs defined in terms of each other,
-closing the recursion so arbitrary-order autodiff works (training needs
-grad-of-grad on the energy-derived force path).
+with the INVERTED loop order: the grid runs over row chunks (each output
+column is owned by exactly one grid step — written once, no read-modify-
+write, and Pallas pipelines the a/b/ids/da/db blocks automatically), and a
+data-dependent inner loop DMAs the few small (S, W·M) cotangent slices the
+chunk's rows actually reference. The round-1 version gridded over segment
+blocks like the forward and paid 2x its streaming in zero-init + read-
+modify-write traffic on the da/db accumulator streams — the dominant cost
+of the whole train step in the round-2 profile. The contractions run as
+
+    da_chunk[s, t] = Σ_wm cot2[s, wm] · (sel[w,t]·b[m,t])   (K = W·M)
+    db_chunk[m, t] = Σ_w  sel[w,t] · G[(w,m), t],
+        G = Σ_s cot2[s, wm] · a[s, t]                       (K = S)
+
+— both contract over long K dims, so the MXU utilization is strictly
+better than the forward's one-hot form.
+
+Both ops carry custom VJPs defined in terms of each other, closing the
+recursion so arbitrary-order autodiff works (training needs grad-of-grad on
+the energy-derived force path).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Literal
 
 import jax
 import jax.numpy as jnp
 
-SEG_BLOCK = 32   # segment ids per grid step == data/padding.py EDGE_BLOCK
-ROW_BLOCK = 512  # rows per DMA chunk
+ROW_BLOCK = 512  # rows per DMA chunk / backward grid step
+SEG_BLOCK_CHOICES = (8, 16, 32)  # candidate segment-block widths, narrow first
+LANE = 128
 
 Implementation = Literal["auto", "pallas", "xla"]
 
 
-def _precision_for(dtype) -> jax.lax.Precision:
-    """MXU contraction precision from the row-data dtype. fp32 inputs get
+def _choose_blocks(n_rows: int, n_segments: int) -> tuple[int, int]:
+    """(W, ROW_BLOCK): smallest segment-block width whose expected rows per
+    block (W · mean rows/segment) covers >= half a DMA chunk. W is the MXU
+    FLOP amplification factor, so smaller is better wherever the DMA stream
+    stays dense."""
+    rows_per_seg = max(n_rows // max(n_segments, 1), 1)
+    for w in SEG_BLOCK_CHOICES:
+        if w * rows_per_seg >= ROW_BLOCK // 2:
+            return w, ROW_BLOCK
+    return SEG_BLOCK_CHOICES[-1], ROW_BLOCK
+
+
+def _bwd_seg_block(n_rows: int, n_segments: int, M: int) -> int | None:
+    """Backward W: heuristic W rounded up so W·M is lane-aligned (the
+    cotangent DMA slices the lane dim of the (S, nSeg·M) view). None if no
+    admissible W divides n_segments (caller falls back to XLA)."""
+    w, _ = _choose_blocks(n_rows, n_segments)
+    w = max(w, LANE // math.gcd(M, LANE))
+    while w <= n_segments and (w * M) % LANE:
+        w *= 2
+    if w > n_segments or n_segments % w:
+        return None
+    return w
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _stream_dtype(*arrays) -> jnp.dtype:
+    """bf16 streams iff every row-data input is bf16 (compute_dtype mode);
+    fp32 otherwise. Accumulation is fp32 always."""
+    if all(jnp.dtype(x.dtype) == jnp.bfloat16 for x in arrays):
+        return jnp.dtype(jnp.bfloat16)
+    return jnp.dtype(jnp.float32)
+
+
+def _precision_for(sdt) -> jax.lax.Precision:
+    """MXU contraction precision from the stream dtype. fp32 streams get
     HIGHEST: Mosaic runs the multi-pass bf16 decomposition so pallas == the
     exact-VPU XLA fallback (the v5e MXU otherwise rounds inputs to bf16,
-    ~3e-3 rel err on hardware, observed by scripts/tpu_checks.py); the
-    kernels are DMA/HBM-bound at model shapes so the extra passes are nearly
-    free. bf16 inputs (compute_dtype="bfloat16") get DEFAULT — a single MXU
-    pass is already exact for bf16 operands. Accumulation is fp32 always."""
+    ~3e-3 rel err on hardware, observed by scripts/tpu_checks.py). bf16
+    streams get DEFAULT — a single MXU pass is already exact for bf16
+    operands."""
     return (
         jax.lax.Precision.HIGHEST
-        if jnp.dtype(dtype) == jnp.float32
+        if jnp.dtype(sdt) == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
+
+
+def _fine_splits(seg_ids, n_segments: int, w: int):
+    """First-row index for every W segment ids, computed in-graph (sorted
+    input; XLA CSEs the duplicates across a train step's kernel calls)."""
+    bounds = jnp.arange(0, n_segments + w, w, dtype=jnp.int32)
+    return jnp.searchsorted(
+        seg_ids.astype(jnp.int32), bounds, side="left"
+    ).astype(jnp.int32)
 
 
 def _use_pallas(impl: Implementation) -> bool:
@@ -104,29 +182,38 @@ def _gather_contract_xla(cot, a, b, seg_ids):
 # ======================================================================
 
 
-def _fwd_kernel(splits_ref, packed_ref, out_ref, pk_s, acc, sems,
-                *, S, M, Sp, Mp, precision):
+def _fwd_kernel(splits_ref, ids_ref, a_ref, b_ref, out_ref,
+                a_s, b_s, ids_s, acc, sems, *, S, M, W, RB, precision, sdt):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
-    e0 = i * SEG_BLOCK
+    e0 = i * W
     start = splits_ref[i]
     end = splits_ref[i + 1]
-    start_al = (start // ROW_BLOCK) * ROW_BLOCK
-    n_chunks = pl.cdiv(end - start_al, ROW_BLOCK)
+    start_al = (start // RB) * RB
+    n_chunks = pl.cdiv(end - start_al, RB)
 
     acc[...] = jnp.zeros_like(acc)
 
-    def dma(slot, j):
-        row0 = pl.multiple_of(start_al + j * ROW_BLOCK, ROW_BLOCK)
-        return pltpu.make_async_copy(
-            packed_ref.at[:, pl.ds(row0, ROW_BLOCK)], pk_s.at[slot], sems.at[slot]
+    def dmas(slot, j):
+        row0 = pl.multiple_of(start_al + j * RB, RB)
+        return (
+            pltpu.make_async_copy(
+                a_ref.at[:, pl.ds(row0, RB)], a_s.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                b_ref.at[:, pl.ds(row0, RB)], b_s.at[slot], sems.at[slot, 1]
+            ),
+            pltpu.make_async_copy(
+                ids_ref.at[:, pl.ds(row0, RB)], ids_s.at[slot], sems.at[slot, 2]
+            ),
         )
 
     @pl.when(n_chunks > 0)
     def _():
-        dma(0, 0).start()
+        for cp in dmas(0, 0):
+            cp.start()
 
     def body(j, _):
         cur = jax.lax.rem(j, 2)
@@ -134,27 +221,24 @@ def _fwd_kernel(splits_ref, packed_ref, out_ref, pk_s, acc, sems,
 
         @pl.when(j + 1 < n_chunks)
         def _():
-            dma(nxt, j + 1).start()
+            for cp in dmas(nxt, j + 1):
+                cp.start()
 
-        dma(cur, j).wait()
-        pk = pk_s[cur]
-        a_c = pk[:Sp]                        # (Sp, B) — only first S rows real
-        b_c = pk[Sp:Sp + Mp]                 # (Mp, B)
-        ids = pltpu.bitcast(pk[Sp + Mp : Sp + Mp + 1], jnp.int32)[0]  # (B,)
+        for cp in dmas(cur, j):
+            cp.wait()
+        ids = ids_s[cur, 0]
         # one-hot over the block's segment band; rows outside contribute zero
         sel = (ids[None, :] == e0 + jax.lax.broadcasted_iota(
-            jnp.int32, (SEG_BLOCK, ROW_BLOCK), 0)).astype(jnp.float32)
+            jnp.int32, (W, RB), 0)).astype(sdt)
         # stack all degrees into one MXU contraction:
         # weighted[s*W+w, t] = sel[w,t] * a[s,t]
-        sel3 = jax.lax.broadcast_in_dim(
-            sel, (S, SEG_BLOCK, ROW_BLOCK), (1, 2))
-        a3 = jax.lax.broadcast_in_dim(
-            a_c[:S], (S, SEG_BLOCK, ROW_BLOCK), (0, 2))
-        weighted = (sel3 * a3).reshape(S * SEG_BLOCK, ROW_BLOCK)
+        sel3 = jax.lax.broadcast_in_dim(sel, (S, W, RB), (1, 2))
+        a3 = jax.lax.broadcast_in_dim(a_s[cur, :S], (S, W, RB), (0, 2))
+        weighted = (sel3 * a3).reshape(S * W, RB)
         acc[...] += jax.lax.dot_general(
-            weighted, b_c[:M], (((1,), (1,)), ((), ())),
+            weighted, b_s[cur, :M], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
-        ).reshape(S, SEG_BLOCK, M)
+        ).reshape(S, W, M)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -167,100 +251,97 @@ def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, interpret=False):
 
     n, S = a.shape
     M = b.shape[1]
-    assert n_segments % SEG_BLOCK == 0, n_segments
-    # sublane alignment: feature dims padded to multiples of 8
-    Sp = -(-S // 8) * 8
-    Mp = -(-M // 8) * 8
-    # packed feature-major stream: [a.T ; b.T ; bitcast(ids)] with a tail
-    # guard chunk (reads may overhang past the last row)
-    pad = ROW_BLOCK
-    packed = jnp.zeros((Sp + Mp + 8, n + pad), jnp.float32)
-    packed = packed.at[:S, :n].set(a.T.astype(jnp.float32))
-    packed = packed.at[Sp : Sp + M, :n].set(b.T.astype(jnp.float32))
-    ids_row = jnp.concatenate(
+    sdt = _stream_dtype(a, b)
+    sub = 16 if sdt == jnp.bfloat16 else 8  # sublane tile for the stream dtype
+    W, RB = _choose_blocks(n, n_segments)
+    assert n_segments % W == 0, (n_segments, W)
+    Sp = _round_up(S, sub)
+    Mp = _round_up(M, sub)
+    # feature-major streams with a tail guard chunk (reads may overhang)
+    pad = RB
+    a_k = jnp.zeros((Sp, n + pad), sdt).at[:S, :n].set(a.T.astype(sdt))
+    b_k = jnp.zeros((Mp, n + pad), sdt).at[:M, :n].set(b.T.astype(sdt))
+    ids_k = jnp.concatenate(
         [seg_ids.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**30))]
-    )
-    packed = packed.at[Sp + Mp].set(jax.lax.bitcast_convert_type(ids_row, jnp.float32))
+    ).reshape(1, -1)
+    splits = _fine_splits(seg_ids, n_segments, W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_segments // SEG_BLOCK,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        grid=(n_segments // W,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # ids
+            pl.BlockSpec(memory_space=pl.ANY),  # a
+            pl.BlockSpec(memory_space=pl.ANY),  # b
+        ],
         out_specs=pl.BlockSpec(
-            (S, SEG_BLOCK, M), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
+            (S, W, M), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, Sp + Mp + 8, ROW_BLOCK), jnp.float32),
-            pltpu.VMEM((S, SEG_BLOCK, M), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, Sp, RB), sdt),
+            pltpu.VMEM((2, Mp, RB), sdt),
+            pltpu.VMEM((2, 1, RB), jnp.int32),
+            pltpu.VMEM((S, W, M), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     kernel = functools.partial(
-        _fwd_kernel, S=S, M=M, Sp=Sp, Mp=Mp, precision=_precision_for(a.dtype)
+        _fwd_kernel, S=S, M=M, W=W, RB=RB,
+        precision=_precision_for(sdt), sdt=sdt,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, n_segments, M), jnp.float32),
         interpret=interpret,
-    )(row_splits.astype(jnp.int32), packed)
+    )(splits, ids_k, a_k, b_k)
 
 
-def _bwd_kernel(splits_ref, ids_ref, a_ref, b_ref, cot_ref, da_in, db_in,
-                da_ref, db_ref, a_s, b_s, ids_s, da_s, db_s, sems,
-                *, S, M, precision):
+def _bwd_kernel(blo_ref, bhi_ref, ids_ref, a_ref, b_ref, cot_ref,
+                da_ref, db_ref, cot_s, da_acc, db_acc, sem,
+                *, S, M, W, RB, precision, sdt):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    i = pl.program_id(0)
-    e0 = i * SEG_BLOCK
-    start = splits_ref[i]
-    end = splits_ref[i + 1]
-    start_al = (start // ROW_BLOCK) * ROW_BLOCK
-    n_chunks = pl.cdiv(end - start_al, ROW_BLOCK)
+    j = pl.program_id(0)
+    ids = ids_ref[0]
+    a_c = a_ref[...]
+    b_c = b_ref[...]
+    da_acc[...] = jnp.zeros_like(da_acc)
+    db_acc[...] = jnp.zeros_like(db_acc)
 
-    def body(j, _):
-        row0 = pl.multiple_of(start_al + j * ROW_BLOCK, ROW_BLOCK)
-        copies = [
-            pltpu.make_async_copy(a_ref.at[:, pl.ds(row0, ROW_BLOCK)], a_s, sems.at[0]),
-            pltpu.make_async_copy(b_ref.at[:, pl.ds(row0, ROW_BLOCK)], b_s, sems.at[1]),
-            pltpu.make_async_copy(ids_ref.at[:, pl.ds(row0, ROW_BLOCK)], ids_s, sems.at[2]),
-            pltpu.make_async_copy(da_ref.at[:, pl.ds(row0, ROW_BLOCK)], da_s, sems.at[3]),
-            pltpu.make_async_copy(db_ref.at[:, pl.ds(row0, ROW_BLOCK)], db_s, sems.at[4]),
-        ]
-        for cp in copies:
-            cp.start()
-        for cp in copies:
-            cp.wait()
-
-        ids = ids_s[0]
-        sel = (ids[None, :] == e0 + jax.lax.broadcasted_iota(
-            jnp.int32, (SEG_BLOCK, ROW_BLOCK), 0)).astype(jnp.float32)  # (W, B)
-        a_c, b_c = a_s[...], b_s[...]  # (Sp, B), (Mp, B)
-        cot_all = cot_ref[...].reshape(S * SEG_BLOCK, M)
-        # da[s, t] = sum_w sel[w,t] * (cot @ b)[s*W+w, t]  — one MXU call
-        d_swb = jax.lax.dot(
-            cot_all, b_c[:M], preferred_element_type=jnp.float32,
-            precision=precision,
-        ).reshape(S, SEG_BLOCK, ROW_BLOCK)
-        sel3 = jax.lax.broadcast_in_dim(
-            sel, (S, SEG_BLOCK, ROW_BLOCK), (1, 2))
-        da_s[:S] += jnp.sum(sel3 * d_swb, axis=1)
-        # db[m, t] = sum_{s,w} cot[s*W+w, m] * sel[w,t]*a[s,t] — one MXU call
-        a3 = jax.lax.broadcast_in_dim(
-            a_c[:S], (S, SEG_BLOCK, ROW_BLOCK), (0, 2))
-        p_all = (sel3 * a3).reshape(S * SEG_BLOCK, ROW_BLOCK)
-        db_s[:M] += jax.lax.dot_general(
-            cot_all, p_all, (((0,), (0,)), ((), ())),
+    def body(w, _):
+        # (S, W·M) cotangent slice for segments [w*W, (w+1)*W): a lane-
+        # aligned slice of the (S, nSeg·M) flattened view (W·M % 128 == 0)
+        cp = pltpu.make_async_copy(
+            cot_ref.at[:, pl.ds(w * (W * M), W * M)], cot_s, sem
+        )
+        cp.start()
+        cp.wait()
+        sel = (ids[None, :] == w * W + jax.lax.broadcasted_iota(
+            jnp.int32, (W, RB), 0)).astype(sdt)  # (W, B)
+        cot2 = cot_s[:S]  # (S, W*M)
+        # da[s, t] = Σ_wm cot2[s, wm] · sel[w,t]·b[m,t]  (K = W·M)
+        b3 = jax.lax.broadcast_in_dim(b_c[:M], (W, M, RB), (1, 2))
+        sel_wm = jax.lax.broadcast_in_dim(sel, (W, M, RB), (0, 2))
+        p2 = (sel_wm * b3).reshape(W * M, RB)
+        da_acc[:S] += jax.lax.dot(
+            cot2, p2, preferred_element_type=jnp.float32, precision=precision,
+        )  # (S, B)
+        # G[(w,m), t] = Σ_s cot2[s, wm] · a[s, t]  (K = S), then
+        # db[m, t] = Σ_w sel[w,t] · G[(w,m), t]
+        g = jax.lax.dot_general(
+            cot2, a_c[:S], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
-        )  # (M, B)
-        wr_a = pltpu.make_async_copy(da_s, da_ref.at[:, pl.ds(row0, ROW_BLOCK)], sems.at[3])
-        wr_b = pltpu.make_async_copy(db_s, db_ref.at[:, pl.ds(row0, ROW_BLOCK)], sems.at[4])
-        wr_a.start(); wr_b.start()
-        wr_a.wait(); wr_b.wait()
+        ).reshape(W, M, RB)
+        sel_f = jax.lax.broadcast_in_dim(
+            sel.astype(jnp.float32), (W, M, RB), (0, 2))
+        db_acc[:M] += jnp.sum(sel_f * g, axis=0)  # (M, B)
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, body, 0)
+    jax.lax.fori_loop(blo_ref[j], bhi_ref[j], body, 0)
+    da_ref[...] = da_acc[...].astype(da_ref.dtype)
+    db_ref[...] = db_acc[...].astype(db_ref.dtype)
 
 
 def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, interpret=False):
@@ -270,62 +351,75 @@ def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, interpret=False):
     n, S = a.shape
     M = b.shape[1]
     n_segments = cot.shape[1]
-    Sp = -(-S // 8) * 8
-    Mp = -(-M // 8) * 8
-    pad = ROW_BLOCK
-    # kernel streams are fp32 regardless of input dtype (scratch/DMA layout);
-    # precision of the MXU contractions follows the ORIGINAL input dtype
-    a_k = jnp.zeros((Sp, n + pad), jnp.float32).at[:S, :n].set(
-        a.T.astype(jnp.float32))
-    b_k = jnp.zeros((Mp, n + pad), jnp.float32).at[:M, :n].set(
-        b.T.astype(jnp.float32))
+    sdt = _stream_dtype(a, b)
+    sub = 16 if sdt == jnp.bfloat16 else 8
+    W = _bwd_seg_block(n, n_segments, M)
+    if W is None:  # no lane-aligned W divides n_segments (exotic shapes)
+        return _gather_contract_xla(cot, a, b, seg_ids)
+    RB = ROW_BLOCK
+    Sp = _round_up(S, sub)
+    Mp = _round_up(M, sub)
+    n_pad = _round_up(n, RB)
+    grid = n_pad // RB
+    a_k = jnp.zeros((Sp, n_pad), sdt).at[:S, :n].set(a.T.astype(sdt))
+    b_k = jnp.zeros((Mp, n_pad), sdt).at[:M, :n].set(b.T.astype(sdt))
     ids_k = jnp.concatenate(
-        [seg_ids.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**30))]
+        [seg_ids.astype(jnp.int32),
+         jnp.full((n_pad - n,), jnp.int32(2**30))]
     ).reshape(1, -1)
-    da0 = jnp.zeros((Sp, n + pad), jnp.float32)
-    db0 = jnp.zeros((Mp, n + pad), jnp.float32)
+    # per-chunk cotangent block range [blo, bhi): first/last row's segment
+    # block (sorted ids; the final chunk's guard rows clamp to the last real
+    # row, and blo is clamped so guard-only chunks run zero iterations)
+    first = ids_k[0, ::RB].astype(jnp.int32)
+    last_idx = jnp.minimum(
+        (jnp.arange(grid, dtype=jnp.int32) + 1) * RB, n) - 1
+    last = seg_ids[last_idx].astype(jnp.int32)
+    blo = jnp.minimum(first // W, n_segments // W)
+    bhi = last // W + 1
+    # sublane-pad the cotangent rows (DMA slices need tile-aligned heights)
+    cot_k = jnp.zeros((Sp, n_segments * M), cot.dtype if sdt != jnp.bfloat16
+                      else jnp.bfloat16)
+    cot_k = cot_k.at[:S].set(
+        (cot.astype(sdt) if sdt == jnp.bfloat16 else cot).reshape(
+            S, n_segments * M
+        )
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_segments // SEG_BLOCK,),
+        num_scalar_prefetch=2,
+        grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # ids
-            pl.BlockSpec(memory_space=pl.ANY),   # a
-            pl.BlockSpec(memory_space=pl.ANY),   # b
-            pl.BlockSpec(
-                (S, SEG_BLOCK, M), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
-            ),                                    # cot block
-            pl.BlockSpec(memory_space=pl.ANY),   # da0 (aliased out)
-            pl.BlockSpec(memory_space=pl.ANY),   # db0 (aliased out)
+            pl.BlockSpec((1, RB), lambda j, *_: (0, j)),   # ids
+            pl.BlockSpec((Sp, RB), lambda j, *_: (0, j)),  # a
+            pl.BlockSpec((Mp, RB), lambda j, *_: (0, j)),  # b
+            pl.BlockSpec(memory_space=pl.ANY),             # cot (inner DMA)
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Sp, RB), lambda j, *_: (0, j)),  # da
+            pl.BlockSpec((Mp, RB), lambda j, *_: (0, j)),  # db
         ),
         scratch_shapes=[
-            pltpu.VMEM((Sp, ROW_BLOCK), jnp.float32),
-            pltpu.VMEM((Mp, ROW_BLOCK), jnp.float32),
-            pltpu.VMEM((1, ROW_BLOCK), jnp.int32),
-            pltpu.VMEM((Sp, ROW_BLOCK), jnp.float32),
-            pltpu.VMEM((Mp, ROW_BLOCK), jnp.float32),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((Sp, W * M), cot_k.dtype),
+            pltpu.VMEM((Sp, RB), jnp.float32),
+            pltpu.VMEM((Mp, RB), jnp.float32),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     kernel = functools.partial(
-        _bwd_kernel, S=S, M=M, precision=_precision_for(a.dtype)
+        _bwd_kernel, S=S, M=M, W=W, RB=RB,
+        precision=_precision_for(sdt), sdt=sdt,
     )
     da, db = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((Sp, n + pad), jnp.float32),
-            jax.ShapeDtypeStruct((Mp, n + pad), jnp.float32),
+            jax.ShapeDtypeStruct((Sp, n_pad), a.dtype),
+            jax.ShapeDtypeStruct((Mp, n_pad), b.dtype),
         ),
-        input_output_aliases={5: 0, 6: 1},  # da0/db0 (indices incl. prefetch arg)
         interpret=interpret,
-    )(row_splits.astype(jnp.int32), ids_k, a_k, b_k, cot, da0, db0)
+    )(blo, bhi, ids_k, a_k, b_k, cot_k)
     # grads must match the primal dtypes (custom-VJP contract)
-    return da[:S, :n].T.astype(a.dtype), db[:M, :n].T.astype(b.dtype)
+    return da[:S, :n].T, db[:M, :n].T
 
 
 # ======================================================================
