@@ -162,7 +162,7 @@ def main():
             jax.profiler.start_trace(args.profile)
             for _ in range(5):
                 train_once()
-            jax.block_until_ready(state.params["frequencies"])
+            jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
             log(f"profiler trace written to {args.profile}")
 

@@ -38,9 +38,9 @@ def make_dp_train_step(trainer: Trainer, mesh: Mesh):
     stacked_batch arrays have shape (n_dev, ...) and are sharded over dp;
     state is replicated.
     """
-    assert trainer.optimizer is not None, "call trainer.init_state first"
-    optimizer = trainer.optimizer
-    ema_decay = trainer.cfg.ema_decay
+    assert (
+        trainer.unravel if trainer.flat else trainer.optimizer
+    ) is not None, "call trainer.init_state first"
 
     def device_step(state: TrainState, batch, lr_scale):
         # shard_map passes the per-device slice with the leading axis kept;
@@ -56,25 +56,9 @@ def make_dp_train_step(trainer: Trainer, mesh: Mesh):
             has_aux=True,
         )
         (loss, (metrics, counts)), grads = grad_fn(state.params)
+        # flat mode: ONE collective for the whole gradient (vs one per leaf)
         grads = jax.lax.psum(grads, AXIS)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
-        import optax
-
-        params = optax.apply_updates(state.params, updates)
-        ema = jax.tree_util.tree_map(
-            lambda s, p: s - (1.0 - ema_decay) * (s - p), state.ema_params, params
-        )
-        from ..training.trainer import MOL_METRICS
-
-        acc = dict(state.metric_acc)
-        for key, val in metrics.items():
-            w = counts["n_mol"] if key in MOL_METRICS else counts["n_atoms"]
-            acc[key] = acc[key] + jnp.stack([val * w, w])
-        new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state,
-            ema_params=ema, metric_acc=acc,
-        )
+        new_state = trainer.apply_update(state, grads, metrics, counts, lr_scale)
         return new_state, metrics, counts
 
     sharded = jax.shard_map(

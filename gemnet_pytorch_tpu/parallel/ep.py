@@ -61,9 +61,11 @@ def _split_rows(ids, mask, extras, n_shards, n_edges_pad, chunk=None):
     """Split one sorted row space into n_shards contiguous padded chunks."""
     n_real = int(mask.sum())
     bounds = [round(n_real * s / n_shards) for s in range(n_shards + 1)]
-    if chunk is None:
-        chunk = max(b1 - b0 for b0, b1 in zip(bounds, bounds[1:]))
-        chunk = -(-max(chunk, 1) // ROW_BLOCK) * ROW_BLOCK  # pad to kernel chunks
+    need = max(b1 - b0 for b0, b1 in zip(bounds, bounds[1:]))
+    need = -(-max(need, 1) // ROW_BLOCK) * ROW_BLOCK  # pad to kernel chunks
+    # a caller-fixed chunk keeps shapes (and compiles) stable across batches;
+    # grow-only on outlier batches that don't fit it
+    chunk = need if chunk is None else max(chunk, need)
     pad_id = ids[-1] if len(ids) else 0  # max id (padding keeps sortedness)
 
     out_ids = np.full((n_shards, chunk), pad_id, ids.dtype)
@@ -189,13 +191,9 @@ def make_ep_train_step(trainer, mesh: Mesh):
     device-side metric accumulation — the ep counterpart of
     dp.make_dp_train_step. Returns (state, batch, lr_scale) -> (state, metrics).
     """
-    import optax
-
-    from ..training.trainer import MOL_METRICS, TrainState  # noqa: F401
-
-    assert trainer.optimizer is not None, "call trainer.init_state first"
-    optimizer = trainer.optimizer
-    ema_decay = trainer.cfg.ema_decay
+    assert (
+        trainer.unravel if trainer.flat else trainer.optimizer
+    ) is not None, "call trainer.init_state first"
     ep_model = make_model_ep(trainer.model)
     row_keys = set(TRIP_ROW_KEYS) | set(QUAD_ROW_KEYS) | {
         "trip_row_splits", "quad_row_splits",
@@ -220,20 +218,7 @@ def make_ep_train_step(trainer, mesh: Mesh):
         (loss, (metrics, counts)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
-        params = optax.apply_updates(state.params, updates)
-        ema = jax.tree_util.tree_map(
-            lambda s, p: s - (1.0 - ema_decay) * (s - p), state.ema_params, params
-        )
-        acc = dict(state.metric_acc)
-        for key, val in metrics.items():
-            w = counts["n_mol"] if key in MOL_METRICS else counts["n_atoms"]
-            acc[key] = acc[key] + jnp.stack([val * w, w])
-        return state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state,
-            ema_params=ema, metric_acc=acc,
-        ), metrics
+        return trainer.apply_update(state, grads, metrics, counts, lr_scale), metrics
 
     return jax.jit(step)
 

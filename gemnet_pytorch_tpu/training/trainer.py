@@ -32,6 +32,7 @@ import optax
 
 from ..config import ModelConfig, TrainConfig
 from ..models.gemnet import GemNet, energy_and_forces
+from . import flat_opt
 
 SHARED_INT_LAYERS = ("mlp_rbf3", "mlp_cbf3", "mlp_rbf_h")
 SHARED_QUAD_LAYERS = ("mlp_rbf4", "mlp_cbf4", "mlp_sbf4")
@@ -120,13 +121,21 @@ class BatchPacker:
 @flax.struct.dataclass
 class TrainState:
     step: jnp.ndarray
+    # flat mode (default): `params`/`ema_params` are ONE contiguous fp32
+    # vector each and `opt_state` is flat_opt.FlatOptState — the TPU-native
+    # layout (see flat_opt.py for the measured 8.0 ms -> 0.05 ms rationale).
+    # Tree mode (cfg.agc or flat_optimizer=False): flax param pytrees with an
+    # optax state, as in round 1. Trainer.params_tree()/ema_tree() give the
+    # structured view either way.
     params: Any
     scales: Any
     opt_state: Any
     ema_params: Any
-    # device-side metric accumulators: name -> [weighted_sum, weight]; drained
-    # host-side once per evaluation interval so no step ever blocks on a
-    # device->host readback (critical over the axon TPU tunnel)
+    # device-side metric accumulators — flat mode: (n_metrics, 2) array of
+    # [weighted_sum, weight] rows in Trainer.tracked_metrics order; tree
+    # mode: name -> [weighted_sum, weight]. Drained host-side once per
+    # evaluation interval so no step ever blocks on a device->host readback
+    # (critical over the axon TPU tunnel)
     metric_acc: Any = None
 
 
@@ -337,11 +346,39 @@ class Trainer:
         self._step_version = -1
         self._eval_version = -1
         self.packer = BatchPacker()
+        # flat-vector parameter/optimizer layout (flat_opt.py). AGC needs
+        # per-unit tensor structure, so it keeps the optax tree path.
+        self.flat = bool(getattr(cfg, "flat_optimizer", True)) and not cfg.agc
+        self.unravel = None  # set by init_state in flat mode
+        self._mol_metric = None  # bool mask over tracked_metrics, flat mode
+        from .schedules import linear_warmup_exponential_decay
+
+        self._sched_base = linear_warmup_exponential_decay(
+            cfg.warmup_steps, cfg.decay_steps, cfg.decay_rate, cfg.staircase
+        )
 
     # -- state management --
     def init_state(self, variables) -> TrainState:
+        import numpy as np
+
         params = variables["params"]
         scales = variables.get("scale_factors", {})
+        if self.flat:
+            flat, self.unravel = flat_opt.ravel_params(params)
+            wd, sc = flat_opt.build_masks(
+                params, self.model_cfg, self.cfg.weight_decay
+            )
+            self._mol_metric = np.array(
+                [k in MOL_METRICS for k in self.tracked_metrics]
+            )
+            return TrainState(
+                step=jnp.asarray(0, jnp.int32),
+                params=flat,
+                scales=scales,
+                opt_state=flat_opt.init(flat, wd, sc),
+                ema_params=jnp.copy(flat),
+                metric_acc=jnp.zeros((len(self.tracked_metrics), 2), jnp.float32),
+            )
         self.optimizer = make_optimizer(self.cfg, self.model_cfg, params)
         opt_state = self.optimizer.init(params)
         return TrainState(
@@ -355,8 +392,25 @@ class Trainer:
             },
         )
 
+    # -- structured views of (possibly flat) state --
+    def params_tree(self, params):
+        """Accepts a flat vector, a TrainState, or a tree; returns the tree."""
+        if isinstance(params, TrainState):
+            params = params.params
+        if isinstance(params, jax.Array) or (
+            hasattr(params, "ndim") and getattr(params, "ndim", None) == 1
+        ):
+            assert self.unravel is not None, "call init_state first"
+            return self.unravel(params)
+        return params
+
+    def ema_tree(self, state: TrainState):
+        return self.params_tree(state.ema_params)
+
     # -- prediction/loss --
     def _predict(self, params, scales, batch, model=None):
+        if not isinstance(params, dict) and not hasattr(params, "keys"):
+            params = self.params_tree(params)
         variables = {"params": params}
         if scales:
             variables["scale_factors"] = scales
@@ -417,15 +471,61 @@ class Trainer:
             )
         return loss, (metrics, counts)
 
+    # -- optimizer/EMA/metric-accumulator application (shared with the
+    # dp/ep parallel steps, which psum/compute grads their own way) --
+    def accumulate_metrics(self, acc, metrics, counts):
+        if isinstance(acc, dict):  # tree mode
+            acc = dict(acc)
+            for key, val in metrics.items():
+                w = counts["n_mol"] if key in MOL_METRICS else counts["n_atoms"]
+                acc[key] = acc[key] + jnp.stack([val * w, w])
+            return acc
+        vals = jnp.stack([metrics[k] for k in self.tracked_metrics])
+        w = jnp.where(
+            jnp.asarray(self._mol_metric), counts["n_mol"], counts["n_atoms"]
+        )
+        return acc + jnp.stack([vals * w, w], axis=1)
+
+    def apply_update(self, state: TrainState, grads, metrics, counts, lr_scale):
+        """grads (flat vector or tree, matching the state layout) -> new state
+        after optimizer + EMA + device-side metric accumulation."""
+        if self.flat:
+            params, ema, opt_state = flat_opt.apply_update(
+                grads, state.opt_state, state.params, state.ema_params,
+                lr_scale,
+                schedule=self._sched_base,
+                learning_rate=self.cfg.learning_rate,
+                grad_clip_max=self.cfg.grad_clip_max,
+                ema_decay=self.cfg.ema_decay,
+            )
+        else:
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
+            params = optax.apply_updates(state.params, updates)
+            ema = jax.tree_util.tree_map(
+                lambda s, p: s - (1.0 - self.cfg.ema_decay) * (s - p),
+                state.ema_params,
+                params,
+            )
+        return state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema,
+            metric_acc=self.accumulate_metrics(state.metric_acc, metrics, counts),
+        )
+
     # -- steps --
     def train_step_fn(self):
         if self._train_step is not None and self._step_version == self.packer.version:
             return self._train_step
         self._train_step = None
         self._step_version = self.packer.version
-        assert self.optimizer is not None, "call init_state first"
-        optimizer = self.optimizer
-        ema_decay = self.cfg.ema_decay
+        assert (self.unravel if self.flat else self.optimizer) is not None, (
+            "call init_state first"
+        )
 
         @jax.jit
         def step(state: TrainState, batch, lr_scale):
@@ -435,27 +535,7 @@ class Trainer:
                 lambda p: self._loss_and_metrics(p, state.scales, batch), has_aux=True
             )
             (loss, (metrics, counts)), grads = grad_fn(state.params)
-            updates, opt_state = optimizer.update(
-                grads, state.opt_state, state.params
-            )
-            updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
-            params = optax.apply_updates(state.params, updates)
-            ema = jax.tree_util.tree_map(
-                lambda s, p: s - (1.0 - ema_decay) * (s - p),
-                state.ema_params,
-                params,
-            )
-            acc = dict(state.metric_acc)
-            for key, val in metrics.items():
-                w = counts["n_mol"] if key in MOL_METRICS else counts["n_atoms"]
-                acc[key] = acc[key] + jnp.stack([val * w, w])
-            new_state = state.replace(
-                step=state.step + 1,
-                params=params,
-                opt_state=opt_state,
-                ema_params=ema,
-                metric_acc=acc,
-            )
+            new_state = self.apply_update(state, grads, metrics, counts, lr_scale)
             return new_state, metrics, counts
 
         self._train_step = step
@@ -510,12 +590,15 @@ class Trainer:
         with its own accumulated sample weight so multi-interval aggregation
         stays sample-weighted (reference metrics.py:66-79)."""
         acc = jax.device_get(state.metric_acc)
+        if not isinstance(acc, dict):  # flat mode: (n_metrics, 2) rows
+            acc = {k: acc[i] for i, k in enumerate(self.tracked_metrics)}
+            zero = jnp.zeros((len(self.tracked_metrics), 2), jnp.float32)
+        else:
+            zero = {k: jnp.zeros(2, jnp.float32) for k in self.tracked_metrics}
         for key, (wsum, w) in acc.items():
             if w > 0:
                 metrics.update_state(float(w), **{key: wsum / w})
-        return state.replace(
-            metric_acc={k: jnp.zeros(2, jnp.float32) for k in self.tracked_metrics}
-        )
+        return state.replace(metric_acc=zero)
 
     def test_on_batch(self, state: TrainState, batch, metrics, use_ema=False):
         import numpy as np

@@ -219,23 +219,23 @@ def ablate():
 
     results["d_grad_full"] = timeit(grad_full, params, batch, iters=10)
 
-    # (e) optimizer+EMA only (fixed grads)
-    grads = jax.jit(lambda p, b: jax.value_and_grad(
+    # (e) optimizer+EMA only (fixed grads, flat layout — see flat_opt.py)
+    grads_flat = jax.jit(lambda p, b: jax.value_and_grad(
         lambda q: trainer._loss_and_metrics(q, scales, b), has_aux=True
-    )(p)[1])(params, batch)
-    import optax
+    )(p)[1])(state.params, batch)
 
     @jax.jit
     def opt_only(grads, opt_state, params, ema):
-        updates, opt_state = trainer.optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        ema = jax.tree_util.tree_map(
-            lambda s, p: s - (1.0 - tcfg.ema_decay) * (s - p), ema, params)
-        return params, opt_state, ema
+        from gemnet_pytorch_tpu.training import flat_opt
+
+        return flat_opt.apply_update(
+            grads, opt_state, params, ema, jnp.asarray(1.0, jnp.float32),
+            schedule=trainer._sched_base, learning_rate=tcfg.learning_rate,
+            grad_clip_max=tcfg.grad_clip_max, ema_decay=tcfg.ema_decay)
 
     results["e_optimizer"] = timeit(
-        lambda g: opt_only(g, state.opt_state, params, state.ema_params)[0]["frequencies"],
-        grads)
+        lambda g: opt_only(g, state.opt_state, state.params, state.ema_params)[0],
+        grads_flat)
 
     # (f) full train step (canonical bench metric)
     step = trainer.train_step_fn()

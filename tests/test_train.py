@@ -60,8 +60,9 @@ def test_param_partition(tiny_setup):
 
     from gemnet_pytorch_tpu.training.trainer import _param_label
 
+    params = tiny_setup["trainer"].params_tree(tiny_setup["state"])
     labels = jax.tree_util.tree_map_with_path(
-        lambda path, _: _param_label(path), tiny_setup["state"].params
+        lambda path, _: _param_label(path), params
     )
     flat = jax.tree_util.tree_flatten_with_path(labels)[0]
     adam_paths = ["/".join(str(getattr(k, "key", k)) for k in p)
@@ -155,7 +156,7 @@ def test_shared_grad_scaling(tiny_setup):
 
     mcfg = tiny_setup["mcfg"]
     tx = scale_shared_grads(mcfg)
-    params = tiny_setup["state"].params
+    params = tiny_setup["trainer"].params_tree(tiny_setup["state"])
     ones = __import__("jax").tree_util.tree_map(jnp.ones_like, params)
     scaled, _ = tx.update(ones, tx.init(params), params)
     np.testing.assert_allclose(
@@ -179,7 +180,8 @@ def test_fit_scaling_smoke(tiny_setup, tmp_path):
     from gemnet_pytorch_tpu.training.fit_scaling import fit_scaling_factors
 
     model, state, it = tiny_setup["model"], tiny_setup["state"], tiny_setup["it"]
-    variables = {"params": state.params, "scale_factors": state.scales}
+    trainer = tiny_setup["trainer"]
+    variables = {"params": trainer.params_tree(state), "scale_factors": state.scales}
     scale_file = str(tmp_path / "scales.json")
     out = fit_scaling_factors(
         model, variables, it, n_batches=2, scale_file=scale_file

@@ -118,13 +118,14 @@ def test_train_step_parity(synthetic_npz, triplets_only, loss):
     ref_loss1 = float(ref_trainer.train_on_batch(it, metrics))
     ref_grads = _ref_grads(ref_model)  # post scale_shared_grads + clip
 
+    ptree = trainer.params_tree(state)  # structured view of the flat master
     (our_loss1, _), raw_grads = jax.value_and_grad(
         lambda p: trainer._loss_and_metrics(p, state.scales, jbatch), has_aux=True
-    )(state.params)
+    )(ptree)
     pre = optax.chain(
         scale_shared_grads(cfg), optax.clip_by_global_norm(HP["grad_clip_max"])
     )
-    our_grads, _ = pre.update(raw_grads, pre.init(state.params), state.params)
+    our_grads, _ = pre.update(raw_grads, pre.init(ptree), ptree)
 
     assert float(our_loss1) == pytest.approx(ref_loss1, rel=2e-4)
 
@@ -165,13 +166,15 @@ def test_train_step_parity(synthetic_npz, triplets_only, loss):
         name: v for name, v in state_dict.items()
     }
     step_scale = HP["learning_rate"] / HP["warmup_steps"]  # first-step lr
+    params_after = jax.device_get(trainer.params_tree(state))
+    ema_after = jax.device_get(trainer.ema_tree(state))
     for name, ref_p in ref_after.items():
         mapped = map_reference_name(name.replace(".seq_energy.", ".layers."))
         if mapped is None or mapped[0] != "params":
             continue
         _, path, transpose = mapped
-        ours = _our_value(state.params, path)
-        ours_ema = _our_value(state.ema_params, path)
+        ours = _our_value(params_after, path)
+        ours_ema = _our_value(ema_after, path)
         if transpose:
             ours = ours.T
             ours_ema = ours_ema.T

@@ -42,6 +42,10 @@ def parse_args():
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel over N devices (0 = single device; "
                    "multihost: GLOBAL device count, defaults to all)")
+    p.add_argument("--ep", type=int, default=0,
+                   help="edge-partitioned (rung 2a) over N local devices: "
+                   "triplet/quad row spaces sharded, host partitioning runs "
+                   "in the data prefetch threads (parallel/ep.py)")
     # multi-host (jax.distributed over DCN): every process runs this same
     # driver with its own --process-id; the dp mesh spans all processes and
     # each process feeds only its local shards (parallel/dp.py assembles the
@@ -177,10 +181,35 @@ def main():
 
     trainer = Trainer(model, tcfg)
     state = trainer.init_state(variables)
+    assert not (args.dp and args.ep), (
+        "train.py drives one parallel axis; dp x ep composition lives in "
+        "parallel/hybrid.py (tests/test_hybrid.py)")
     # batches packed into single buffers inside the prefetch threads
-    train_iter = provider.get_dataset("train", transform=trainer.packer.pack)
+    if args.ep:
+        # row partitioning runs in the prefetch threads too (transform), off
+        # the step critical path; fixed chunk sizes keep compiles stable
+        from gemnet_pytorch_tpu.data.padding import ROW_BLOCK, round_up
+        from gemnet_pytorch_tpu.parallel import make_mesh, partition_batch
+
+        dims = provider.pad_dims
+        trip_chunk = round_up(-(-dims.n_triplets // args.ep), ROW_BLOCK)
+        quad_chunk = (round_up(-(-dims.n_quads // args.ep), ROW_BLOCK)
+                      if not mcfg.triplets_only else None)
+
+        def ep_transform(b):
+            return partition_batch(
+                b, args.ep, trip_chunk=trip_chunk, quad_chunk=quad_chunk
+            )
+
+        train_iter = provider.get_dataset("train", transform=ep_transform)
+        ep_mesh = make_mesh(args.ep, axis_names=("ep",))
+        logging.info("edge-partitioned over %d devices: %s", args.ep, ep_mesh)
+    else:
+        train_iter = provider.get_dataset("train", transform=trainer.packer.pack)
+    # validation stays single-device (EMA weights are replicated)
     val_iter = provider.get_dataset("val", transform=trainer.packer.pack)
     dp_step = None
+    ep_step = None
     if args.dp:
         from gemnet_pytorch_tpu.parallel import (
             make_dp_train_step, make_mesh, shard_batch_to_mesh, stack_shards,
@@ -236,6 +265,14 @@ def main():
                 shards = shards[lo:lo + n_local]
             stacked = shard_batch_to_mesh(stack_shards(shards), mesh)
             state, _, _ = dp_step(state, stacked, jnp.asarray(plateau.lr_scale))
+        elif args.ep:
+            if ep_step is None:
+                from gemnet_pytorch_tpu.parallel import shard_ep_batch
+                from gemnet_pytorch_tpu.parallel.ep import make_ep_train_step
+
+                ep_step = make_ep_train_step(trainer, ep_mesh)
+            batch = shard_ep_batch(next(train_iter), ep_mesh)
+            state, _ = ep_step(state, batch, jnp.asarray(plateau.lr_scale))
         else:
             state, _ = trainer.train_on_batch(state, next(train_iter), plateau.lr_scale)
         if t_start is None and step >= step_init + 2:
@@ -266,7 +303,9 @@ def main():
             if val_metrics.loss < best_metrics.loss:
                 best_metrics.update(step, val_metrics)
                 if is_main:
-                    save_params(best_path, state.ema_params, state.scales)
+                    # model-only checkpoint keeps the structured layout so
+                    # predict/examples restore into a params tree
+                    save_params(best_path, trainer.ema_tree(state), state.scales)
             best_metrics.write(writer, step)
             logging.info(
                 "%d/%d (epoch %d): %s",
