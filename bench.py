@@ -98,6 +98,9 @@ def main():
                     help="override config.yaml compute dtype (bf16 A/B)")
     ap.add_argument("--skip-large", action="store_true",
                     help="only the small headline workload")
+    ap.add_argument("--steps-per-call", type=int, default=1,
+                    help="also time a lax.scan of K steps per dispatch "
+                    "(trainer.multi_step_fn); >1 enables the extra window")
     args = ap.parse_args()
 
     import jax
@@ -156,6 +159,37 @@ def main():
         log(f"[{kind}] train steady (best of 3 windows): {dt*1e3:.2f} ms/step "
             f"-> {n_real/dt:.3e} trip+quad/s")
 
+        # optional: K steps per dispatch via lax.scan over stacked packed
+        # batches (trainer.multi_step_fn; numerically identical to single
+        # steps — tests/test_flat_opt.py). Opt-in: the scanned program is
+        # ~Kx bigger, and the pooled tunneled runtime intermittently enters
+        # a mode where every execution re-uploads the program binary
+        # (~60-90 MB/s), which punishes big programs size-proportionally
+        # (artifacts_r02_profile.md "degraded-pool mode").
+        K = args.steps_per_call
+        if K > 1:
+            row = trainer.packer.pack(
+                {k: np.asarray(v) for k, v in batch.items()})
+            packed = jnp.asarray(np.stack([row] * K))
+            multi = trainer.multi_step_fn()
+            t0 = time.perf_counter()
+            state, metrics, _ = multi(state, packed, lr)
+            jax.block_until_ready(metrics["loss"])
+            log(f"[{kind}] scan{K} compile+first call: "
+                f"{time.perf_counter() - t0:.1f}s")
+
+            def train_scan():
+                nonlocal state
+                state, m, _ = multi(state, packed, lr)
+                return m["loss"]
+
+            dt_scan = best_window(train_scan, iters=3) / K
+            results[kind + "_scan"] = n_real / dt_scan
+            log(f"[{kind}] train scan{K} steady (best of 3 windows): "
+                f"{dt_scan*1e3:.2f} ms/step -> {n_real/dt_scan:.3e} trip+quad/s")
+        else:
+            multi = packed = None
+
         if kind == "small" and args.profile:
             # after the timed window: in-process tracing costs ~10x on the
             # tunneled runtime and must not skew the reported metric
@@ -167,7 +201,7 @@ def main():
             log(f"profiler trace written to {args.profile}")
 
         # free the trainer's compiled step before the next (bigger) workload
-        del trainer, state, step, variables
+        del trainer, state, step, variables, multi, packed
 
     out = {
         "metric": "triplets+quads aggregated/sec/chip (GemNet-Q train step)",
@@ -175,8 +209,13 @@ def main():
         "unit": "agg/s/chip",
         "vs_baseline": results["small"] / BENCH_BASE,
     }
+    if "small_scan" in results:
+        out["steps_per_call"] = args.steps_per_call
+        out["scan_agg_per_s"] = results["small_scan"]
     if "large" in results:
         out["large_agg_per_s"] = results["large"]
+        if "large_scan" in results:
+            out["large_scan_agg_per_s"] = results["large_scan"]
     if cfg.compute_dtype != "float32":
         out["compute_dtype"] = cfg.compute_dtype
     print(json.dumps(out))

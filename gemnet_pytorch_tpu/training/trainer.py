@@ -343,8 +343,10 @@ class Trainer:
         self.optimizer: Optional[optax.GradientTransformation] = None
         self._train_step = None
         self._eval_step = None
+        self._multi_step = None
         self._step_version = -1
         self._eval_version = -1
+        self._multi_version = -1
         self.packer = BatchPacker()
         # flat-vector parameter/optimizer layout (flat_opt.py). AGC needs
         # per-unit tensor structure, so it keeps the optax tree path.
@@ -540,6 +542,69 @@ class Trainer:
 
         self._train_step = step
         return step
+
+    def multi_step_fn(self):
+        """K train steps per dispatch: lax.scan over a (K, nbytes) stack of
+        packed batches.
+
+        The single-chip step is latency-bound, not FLOP-bound (a 12.8x-larger
+        quad space costs +3% wall time; artifacts_r02_profile.md), so the
+        fixed per-dispatch cost — host->device transfer, program launch,
+        handle plumbing over the tunneled runtime — dominates. Scanning K
+        steps inside one jitted program pays it once per K. Numerically
+        IDENTICAL to K single steps (tests/test_flat_opt.py): the scan body
+        is the same unpack -> loss+grads -> apply_update, and metric_acc
+        accumulation already lives in apply_update so device-side metrics
+        aggregate across the scanned steps exactly as they do across calls.
+
+        Returns (state, packed (K, nbytes) uint8, lr_scale) ->
+        (state, metrics of the LAST step, counts of the last step).
+        """
+        if (self._multi_step is not None
+                and self._multi_version == self.packer.version):
+            return self._multi_step
+        self._multi_step = None
+        self._multi_version = self.packer.version
+        assert (self.unravel if self.flat else self.optimizer) is not None, (
+            "call init_state first"
+        )
+
+        @jax.jit
+        def multi(state: TrainState, packed, lr_scale):
+            def body(st, row):
+                batch = self.packer.unpack(row)
+                grad_fn = jax.value_and_grad(
+                    lambda p: self._loss_and_metrics(p, st.scales, batch),
+                    has_aux=True,
+                )
+                (loss, (metrics, counts)), grads = grad_fn(st.params)
+                return (
+                    self.apply_update(st, grads, metrics, counts, lr_scale),
+                    (metrics, counts),
+                )
+
+            state, (metrics, counts) = jax.lax.scan(body, state, packed)
+            last = jax.tree_util.tree_map(lambda x: x[-1], (metrics, counts))
+            return state, last[0], last[1]
+
+        self._multi_step = multi
+        return multi
+
+    def train_on_batches(self, state: TrainState, batches, lr_scale):
+        """K async train steps in ONE device dispatch (multi_step_fn).
+        `batches` is a list of host dicts or pre-packed uint8 buffers of
+        identical layout. Returns (state, last-step loss, device async)."""
+        import numpy as np
+
+        rows = [
+            b if isinstance(b, np.ndarray) else self.packer.pack(b)
+            for b in batches
+        ]
+        packed = jnp.asarray(np.stack(rows))
+        state, metrics, _ = self.multi_step_fn()(
+            state, packed, jnp.asarray(lr_scale, jnp.float32)
+        )
+        return state, metrics["loss"]
 
     def eval_step_fn(self):
         if self._eval_step is not None and self._eval_version == self.packer.version:

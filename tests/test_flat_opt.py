@@ -122,3 +122,30 @@ def test_flat_checkpoint_roundtrip(two_trainers, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(s_flat),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_step_matches_single_steps(two_trainers):
+    """One K=4 scanned dispatch (multi_step_fn) is numerically identical to
+    4 consecutive single train steps: same params, EMA, opt count, and
+    device-side metric accumulator."""
+    import jax
+    import numpy as np
+
+    t = two_trainers["t_flat"]
+    s_single = two_trainers["s_flat"]
+    s_multi = s_single
+    batches = two_trainers["batches"][:4]
+
+    for b in batches:
+        s_single, _ = t.train_on_batch(s_single, dict(b), 1.0)
+    s_multi, last_loss = t.train_on_batches(s_multi, [dict(b) for b in batches], 1.0)
+
+    assert int(s_multi.step) == int(s_single.step)
+    np.testing.assert_allclose(
+        np.asarray(s_multi.params), np.asarray(s_single.params), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_multi.ema_params), np.asarray(s_single.ema_params), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_multi.metric_acc), np.asarray(s_single.metric_acc), rtol=1e-6)
+    assert int(s_multi.opt_state.count) == int(s_single.opt_state.count)
+    assert np.isfinite(float(last_loss))

@@ -42,6 +42,13 @@ def parse_args():
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel over N devices (0 = single device; "
                    "multihost: GLOBAL device count, defaults to all)")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="train steps fused into one device dispatch via "
+                   "lax.scan (single-device path; numerically identical to "
+                   "single steps — tests/test_flat_opt.py). Amortizes "
+                   "per-dispatch overhead, but the ~Kx-bigger program is "
+                   "exposed to the pooled runtime's per-call program "
+                   "re-upload mode (CLAUDE.md); benchmark before raising.")
     p.add_argument("--ep", type=int, default=0,
                    help="edge-partitioned (rung 2a) over N local devices: "
                    "triplet/quad row spaces sharded, host partitioning runs "
@@ -250,7 +257,19 @@ def main():
     # ---- loop (reference train_seml.py:308-387) ----
     steps_per_epoch = int(np.ceil(num_train / tcfg.batch_size))
     t_start, t_steps = None, 0
-    for step in range(step_init + 1, tcfg.num_steps + 1):
+    step = step_init
+    while step < tcfg.num_steps:
+        # single-device path: K steps per device dispatch (lax.scan over
+        # stacked packed batches, trainer.multi_step_fn) — the per-dispatch
+        # fixed cost dominates the latency-bound step. Chunks are clamped so
+        # they never cross a logging/checkpoint/eval boundary, keeping event
+        # timing (and plateau lr_scale constancy within a chunk) exact.
+        k = 1
+        if args.steps_per_call > 1 and not (args.dp or args.ep):
+            k = min(args.steps_per_call, tcfg.num_steps - step)
+            for interval in (10, tcfg.save_interval, tcfg.evaluation_interval):
+                k = min(k, interval - step % interval)
+        step += k
         # async step: metrics accumulate on device, drained at eval intervals
         if args.dp:
             if dp_step is None:
@@ -273,6 +292,9 @@ def main():
                 ep_step = make_ep_train_step(trainer, ep_mesh)
             batch = shard_ep_batch(next(train_iter), ep_mesh)
             state, _ = ep_step(state, batch, jnp.asarray(plateau.lr_scale))
+        elif k > 1:
+            state, _ = trainer.train_on_batches(
+                state, [next(train_iter) for _ in range(k)], plateau.lr_scale)
         else:
             state, _ = trainer.train_on_batch(state, next(train_iter), plateau.lr_scale)
         if t_start is None and step >= step_init + 2:
