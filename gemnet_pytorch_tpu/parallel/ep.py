@@ -11,7 +11,15 @@ atom/edge-level tensors stay replicated:
   that is nonzero only on its own edge band.
 - The bilinear contraction is linear in that accumulation, so shards combine
   with one `psum` of the bilinear OUTPUT — (nEdges, units_out), a few hundred
-  KB per interaction block over ICI — not of the row spaces.
+  KB per interaction block over ICI — not of the row spaces. NOTE the
+  measured total: AD through the vma-tracked shard_map also all-reduces the
+  cotangents of every replicated operand consumed by the varying rows (the
+  rbf/cbf streams and intermediate-edge embeddings), so a full train step
+  moves ~213 MB/shard of collectives at the flagship small-bench shape
+  (jaxpr census, artifacts_r02_comm.md) — inherent to rung 2a's
+  replicate-the-edge-spaces design. The halo mode (rung 2b, parallel/halo.py)
+  shards those spaces and measures 25.6 MB/shard on the same batch; prefer
+  it when comm dominates.
 - Everything else (edge hadamards, atom update, output blocks, energy/force
   aggregation) is edge/atom-level, orders of magnitude cheaper than the row
   spaces, and computes replicated — bitwise identical on every chip, no
