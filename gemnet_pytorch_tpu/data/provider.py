@@ -129,18 +129,27 @@ class DataProvider:
         prefetch_workers: int = 2,
         prefetch_depth: int = 4,
         transform=None,
+        raw_transform=None,
     ) -> Iterator[dict[str, np.ndarray]]:
         """Infinite padded-batch iterator. With prefetch_workers > 0, batches
         are built by background threads ahead of consumption (the native graph
         builder and numpy padding release the GIL), overlapping host-side
         graph construction with device steps — the reference's
         DataLoader-worker role (data_provider.py:164), absent there by
-        default (num_workers=0)."""
+        default (num_workers=0).
+
+        `transform` maps the PADDED batch dict; `raw_transform(g, Z, R, E, F)`
+        instead replaces the padding step entirely and receives the raw
+        batched graph — used by partitioners that build their own device
+        layout (e.g. parallel/halo.build_halo_partition)."""
         assert split in self.idx
         batch_size = batch_size or self.batch_size
         sels = self._selections(split, batch_size)
+        assert transform is None or raw_transform is None
 
         def build(sel):
+            if raw_transform is not None:
+                return raw_transform(*self.data_container.build(sel))
             b = self._build_padded(sel)
             return transform(b) if transform is not None else b
 

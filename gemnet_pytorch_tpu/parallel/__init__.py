@@ -11,6 +11,15 @@ from .ep import (  # noqa: F401
     partition_batch,
     shard_ep_batch,
 )
+from .halo import (  # noqa: F401
+    HaloPads,
+    build_halo_partition,
+    estimate_halo_pads,
+    make_halo_apply,
+    make_halo_loss_and_grad,
+    make_halo_train_step,
+    shard_halo_batch,
+)
 from .hybrid import (  # noqa: F401
     build_hybrid_batch,
     make_hybrid_loss_and_grad,

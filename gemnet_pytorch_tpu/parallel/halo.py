@@ -45,6 +45,8 @@ ep.py docstring); exactness is asserted in tests/test_halo.py.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from ..data.graph import GraphArrays
@@ -53,6 +55,56 @@ from ..data.padding import EDGE_BLOCK, ROW_BLOCK, _row_splits, round_up
 INT = np.int32
 
 EP_AXIS = "ep"
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloPads:
+    """Static per-shard sizes of a halo partition.
+
+    Mirrors data/padding.PadDims: padding every batch to one fixed HaloPads
+    lets the jitted halo train step compile once across batches. Each field
+    is a lower bound — `build_halo_partition` uses max(natural, pad) per
+    dimension and reports the sizes actually used under the host-only
+    "halo_pads" batch key, so callers can detect outlier batches and grow.
+    """
+
+    half: int = 64        # owned edge PAIRS per shard (local edges = 2*half)
+    h_e: int = 8          # edge-halo rows per peer
+    t_loc: int = ROW_BLOCK   # local triplet rows
+    ie: int = 64          # interaction edges (replicated space)
+    i_ca: int = 64        # local intermediate-ca rows
+    i_db: int = 64        # local intermediate-db rows
+    h_i: int = 8          # intm-halo rows per peer
+    q_loc: int = ROW_BLOCK   # local quadruplet rows
+    n_mol: int = 1
+    n_atoms: int = 16
+
+    def grow_to(self, other: "HaloPads", headroom: float = 1.0) -> "HaloPads":
+        """Elementwise max against `other` scaled by `headroom`, respecting
+        each dimension's block granularity."""
+
+        def up(a: int, b: int, block: int) -> int:
+            need = max(a, int(np.ceil(b * headroom)))
+            return int(round_up(max(need, block), block)) if need else 0
+
+        return HaloPads(
+            half=up(self.half, other.half, 64),
+            h_e=up(self.h_e, other.h_e, 8),
+            t_loc=up(self.t_loc, other.t_loc, ROW_BLOCK),
+            ie=up(self.ie, other.ie, 64),
+            i_ca=up(self.i_ca, other.i_ca, 64),
+            i_db=up(self.i_db, other.i_db, 64),
+            h_i=up(self.h_i, other.h_i, 8),
+            q_loc=up(self.q_loc, other.q_loc, ROW_BLOCK),
+            n_mol=max(self.n_mol, other.n_mol),
+            n_atoms=up(self.n_atoms, other.n_atoms, 16),
+        )
+
+    def covers(self, other: "HaloPads") -> bool:
+        return all(
+            getattr(self, f.name) >= getattr(other, f.name)
+            for f in dataclasses.fields(self)
+        )
 
 
 # ======================================================================
@@ -110,14 +162,16 @@ class _HaloIndexer:
 
     def finalize(self, h_pad: int | None = None):
         """Freeze request lists; returns (halo_size_per_peer, send_idx,
-        send_mask, halo_real_counts)."""
+        send_mask, halo_real_counts). `h_pad` is a LOWER bound on the halo
+        size (fixed-shape batching, HaloPads); the natural size wins if
+        larger."""
         S = self.n_shards
         counts = np.zeros((S, S), np.int64)
         for s in range(S):
             for o in range(S):
                 if self.requests[s][o] is not None:
                     counts[s, o] = len(self.requests[s][o])
-        h = int(counts.max()) if h_pad is None else h_pad
+        h = max(int(counts.max()), h_pad or 0)
         h = max(round_up(h, 8), 8)
         self.h = h
         # send_idx[s, o, j]: local slot (in shard s) of the j-th row shard o
@@ -175,19 +229,25 @@ def build_halo_partition(
     triplets_only: bool = False,
     n_mol_pad: int | None = None,
     n_atoms_pad: int | None = None,
+    pads: HaloPads | None = None,
 ) -> dict[str, np.ndarray]:
     """Partition one canonical batched graph across `n_shards` for the
     edge-partitioned (halo) execution mode.
 
     Returns a batch dict where per-shard arrays carry a leading (n_shards,)
     axis (see `halo_in_specs`) and atom/molecule-level arrays are replicated.
+    `pads` gives per-dimension lower bounds so every batch of a training run
+    shares one static shape (compile once); the host-only "halo_pads" key
+    reports the sizes actually used (== `pads` whenever it covers the batch).
     """
     nE = g.n_edges
     nE2 = nE // 2
     n_mol = int(g.batch_seg.max()) + 1 if len(g.batch_seg) else 0
     n_atoms = len(Z)
-    n_mol_pad = n_mol_pad or n_mol
-    n_atoms_pad = n_atoms_pad or round_up(n_atoms, 16)
+    pads = pads or HaloPads(half=0, h_e=0, t_loc=0, ie=0, i_ca=0, i_db=0,
+                            h_i=0, q_loc=0, n_mol=0, n_atoms=0)
+    n_mol_pad = n_mol_pad or max(n_mol, pads.n_mol)
+    n_atoms_pad = n_atoms_pad or max(round_up(n_atoms, 16), pads.n_atoms)
 
     # ---- pair ownership balanced by triplet+quad row count ----
     cost_e = np.bincount(g.id3_reduce_ca, minlength=nE).astype(np.float64)
@@ -196,7 +256,7 @@ def build_halo_partition(
     cost_pair = cost_e[:nE2] + cost_e[nE2:] + 1.0  # +1: count the edges too
     bounds = _balance_pairs(cost_pair, n_shards)
     pairs_per = np.diff(bounds)
-    half = max(round_up(int(pairs_per.max()), 64), 64)
+    half = max(round_up(int(pairs_per.max()), 64), 64, pads.half)
     E_loc = 2 * half
 
     pair_of = np.where(np.arange(nE) < nE2, np.arange(nE), np.arange(nE) - nE2)
@@ -254,13 +314,14 @@ def build_halo_partition(
         trip_rows_per_shard.append(rows)
         if len(rows):
             edge_ix.collect(s, g.id3_expand_ba[rows])
-    h_e, esend_idx, esend_mask, ecounts = edge_ix.finalize()
+    h_e, esend_idx, esend_mask, ecounts = edge_ix.finalize(h_pad=pads.h_e)
     out["edge_halo_send_idx"] = esend_idx      # (S, S, h_e)
     out["edge_halo_send_mask"] = esend_mask
 
     T_loc = max(
         round_up(max((len(r) for r in trip_rows_per_shard), default=1), ROW_BLOCK),
         ROW_BLOCK,
+        pads.t_loc,
     )
     trip_arrs = {
         "id3_reduce_ca": np.zeros((S, T_loc), INT),
@@ -289,11 +350,15 @@ def build_halo_partition(
     )  # static sizes (host side; not shipped to device)
 
     if triplets_only:
+        out["halo_pads"] = HaloPads(
+            half=half, h_e=h_e, t_loc=T_loc, ie=0, i_ca=0, i_db=0, h_i=0,
+            q_loc=0, n_mol=n_mol_pad, n_atoms=n_atoms_pad,
+        )
         return out
 
     # ---- quadruplet hierarchy ----
     nIE = g.n_int_edges
-    IE_pad = max(round_up(nIE, 64), 64)
+    IE_pad = max(round_up(nIE, 64), 64, pads.ie)
     out["id4_int_a"] = pad1(g.id4_int_a, IE_pad)
     out["id4_int_b"] = pad1(g.id4_int_b, IE_pad)
     out["int_edge_mask"] = (np.arange(IE_pad) < nIE)
@@ -302,7 +367,8 @@ def build_halo_partition(
     ca_owner = edge_owner[g.id4_reduce_intm_ca]
     ca_rows_per_shard = [np.nonzero(ca_owner == s)[0] for s in range(S)]
     I_ca = max(
-        round_up(max((len(r) for r in ca_rows_per_shard), default=1), 64), 64)
+        round_up(max((len(r) for r in ca_rows_per_shard), default=1), 64), 64,
+        pads.i_ca)
     ca_local = np.zeros(g.n_intm, np.int64)
     for s in range(S):
         ca_local[ca_rows_per_shard[s]] = np.arange(len(ca_rows_per_shard[s]))
@@ -311,7 +377,8 @@ def build_halo_partition(
     db_owner = edge_owner[g.id4_expand_intm_db]
     db_rows_per_shard = [np.nonzero(db_owner == s)[0] for s in range(S)]
     I_db = max(
-        round_up(max((len(r) for r in db_rows_per_shard), default=1), 64), 64)
+        round_up(max((len(r) for r in db_rows_per_shard), default=1), 64), 64,
+        pads.i_db)
     db_local = np.zeros(len(g.id4_expand_intm_db), np.int64)
     for s in range(S):
         db_local[db_rows_per_shard[s]] = np.arange(len(db_rows_per_shard[s]))
@@ -328,7 +395,7 @@ def build_halo_partition(
         quad_rows_per_shard.append(rows)
         if len(rows):
             intm_ix.collect(s, g.id4_expand_abd[rows])
-    h_i, isend_idx, isend_mask, icounts = intm_ix.finalize()
+    h_i, isend_idx, isend_mask, icounts = intm_ix.finalize(h_pad=pads.h_i)
     out["intm_halo_send_idx"] = isend_idx
     out["intm_halo_send_mask"] = isend_mask
 
@@ -336,6 +403,7 @@ def build_halo_partition(
         round_up(max((len(r) for r in quad_rows_per_shard), default=1),
                  ROW_BLOCK),
         ROW_BLOCK,
+        pads.q_loc,
     )
 
     # per-shard intm_ca arrays (basis/geometry only; no activations)
@@ -411,7 +479,35 @@ def build_halo_partition(
     out.update(quad_arrs)
 
     out["halo_meta"] = np.array([E_loc, h_e, T_loc, I_ca, I_db, h_i, Q_loc], INT)
+    out["halo_pads"] = HaloPads(
+        half=half, h_e=h_e, t_loc=T_loc, ie=IE_pad, i_ca=I_ca, i_db=I_db,
+        h_i=h_i, q_loc=Q_loc, n_mol=n_mol_pad, n_atoms=n_atoms_pad,
+    )
     return out
+
+
+def estimate_halo_pads(
+    raw_batches,
+    n_shards: int,
+    triplets_only: bool = False,
+    headroom: float = 1.25,
+    n_mol: int | None = None,
+) -> HaloPads:
+    """Size static HaloPads from sample batches (the halo analog of
+    data/padding.estimate_pad_dims). `raw_batches` yields (g, Z, R, ...)
+    tuples (extra elements ignored)."""
+    pads = None
+    for tup in raw_batches:
+        g, Z, R = tup[0], tup[1], tup[2]
+        p = build_halo_partition(
+            g, Z, R, n_shards, triplets_only=triplets_only
+        )["halo_pads"]
+        pads = p if pads is None else pads.grow_to(p)
+    assert pads is not None, "estimate_halo_pads needs at least one batch"
+    pads = pads.grow_to(pads, headroom=headroom)
+    if n_mol is not None:
+        pads = dataclasses.replace(pads, n_mol=max(pads.n_mol, n_mol))
+    return pads
 
 
 # ======================================================================
@@ -430,7 +526,7 @@ SHARDED_KEYS = (
     "id4_reduce_ca", "id4_reduce_cab", "id4_expand_abd", "quad_mask",
     "quad_row_splits",
 )
-HOST_ONLY_KEYS = ("halo_meta",)
+HOST_ONLY_KEYS = ("halo_meta", "halo_pads")
 
 
 def halo_exchange(x, send_idx, send_mask, axis_name: str):
@@ -548,3 +644,52 @@ def make_halo_loss_and_grad(model, mesh, loss_fn):
         return jax.value_and_grad(lambda v: sharded(v, batch))(variables)
 
     return jax.jit(loss_and_grad)
+
+
+def make_halo_train_step(trainer, mesh):
+    """Full training step over a halo mesh: exact gradients (jax.grad outside
+    the vma-tracked shard_map), then the trainer's optimizer/EMA update and
+    device-side metric accumulation — the rung-2b counterpart of
+    ep.make_ep_train_step. Returns (state, halo_batch, lr_scale) ->
+    (state, metrics); batches share one HaloPads shape so this compiles once.
+    """
+    import dataclasses as _dc
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ..models.gemnet import make_model
+
+    assert (
+        trainer.unravel if trainer.flat else trainer.optimizer
+    ) is not None, "call trainer.init_state first"
+    halo_model = make_model(
+        _dc.replace(trainer.model.config, ep_axis=EP_AXIS, ep_halo=True)
+    )
+
+    def device_metrics(params, scales, batch):
+        local = {
+            k: (v[0] if k in SHARDED_KEYS else v) for k, v in batch.items()
+        }
+        # trainer loss over the halo-axis model; E/F (and hence the metrics)
+        # come out replicated — the atom/molecule spaces are replicated and
+        # edge contributions are psum'd inside the model
+        return trainer._loss_and_metrics(params, scales, local, model=halo_model)
+
+    def step(state, batch, lr_scale):
+        def loss_fn(params):
+            sharded = jax.shard_map(
+                lambda p, b: device_metrics(p, state.scales, b),
+                mesh=mesh,
+                in_specs=(P(), halo_in_specs(batch)),
+                out_specs=(P(), (P(), P())),
+                check_vma=True,
+            )
+            return sharded(params, batch)
+
+        (loss, (metrics, counts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        return trainer.apply_update(state, grads, metrics, counts, lr_scale), metrics
+
+    return jax.jit(step)

@@ -192,3 +192,91 @@ def test_halo_training_grads_match_single_device():
             name = "/".join(str(getattr(k, "key", k)) for k in path)
             bad.append((name, float(err), float(np.abs(a).max())))
     assert not bad, bad[:10]
+
+
+def test_halo_fixed_pads_shapes_and_exactness():
+    """HaloPads lower bounds: grown pads give the requested static shapes and
+    the padded partition still reproduces the single-device E/F exactly —
+    the compile-once contract of the halo training path."""
+    import dataclasses
+
+    import jax
+
+    from gemnet_pytorch_tpu.models import energy_and_forces
+    from gemnet_pytorch_tpu.parallel import make_mesh
+    from gemnet_pytorch_tpu.parallel.halo import (
+        build_halo_partition, make_halo_apply, shard_halo_batch,
+    )
+
+    model, variables, jbatch, data = _setup(triplets_only=False)
+    E_ref, F_ref, _ = energy_and_forces(model, variables, jbatch)
+
+    natural = build_halo_partition(
+        data["g"], data["Z"], data["R"], 2, triplets_only=False,
+        n_mol_pad=data["n_mol_pad"], n_atoms_pad=data["n_atoms_pad"],
+    )["halo_pads"]
+    grown = natural.grow_to(natural, headroom=1.3)
+    assert grown.covers(natural) and grown != natural
+
+    part = build_halo_partition(
+        data["g"], data["Z"], data["R"], 2,
+        E=data["E"], F=data["F"], triplets_only=False, pads=grown,
+        n_mol_pad=data["n_mol_pad"], n_atoms_pad=data["n_atoms_pad"],
+    )
+    used = part["halo_pads"]
+    assert used == dataclasses.replace(
+        grown, n_mol=used.n_mol, n_atoms=used.n_atoms)
+    assert part["id_c"].shape == (2, 2 * grown.half)
+    assert part["id3_reduce_ca"].shape == (2, grown.t_loc)
+    assert part["id4_reduce_ca"].shape == (2, grown.q_loc)
+    assert part["edge_halo_send_idx"].shape == (2, 2, grown.h_e)
+    assert part["intm_halo_send_idx"].shape == (2, 2, grown.h_i)
+
+    mesh = make_mesh(2, axis_names=("ep",))
+    E, F = make_halo_apply(model, mesh)(variables, shard_halo_batch(part, mesh))
+    np.testing.assert_allclose(np.asarray(E), np.asarray(E_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(F), np.asarray(F_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_halo_train_step_matches_single_device():
+    """Full halo training step (flat optimizer + EMA + device metrics) tracks
+    the single-device trainer step-for-step on identical init + data."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.config import TrainConfig
+    from gemnet_pytorch_tpu.parallel import make_mesh
+    from gemnet_pytorch_tpu.parallel.halo import (
+        make_halo_train_step, shard_halo_batch,
+    )
+    from gemnet_pytorch_tpu.training import Trainer
+
+    model, variables, jbatch, data = _setup(triplets_only=False)
+    tcfg = TrainConfig(weight_decay=1e-6, loss="mae", rho_force=0.5,
+                       learning_rate=3e-3)
+
+    ref_trainer = Trainer(model, tcfg)
+    ref_state = ref_trainer.init_state(dict(variables))
+    ref_step = ref_trainer.train_step_fn()
+
+    halo_trainer = Trainer(model, tcfg)
+    state = halo_trainer.init_state(dict(variables))
+    mesh = make_mesh(2, axis_names=("ep",))
+    sharded = shard_halo_batch(_halo_batch(data, 2, False), mesh)
+    step = make_halo_train_step(halo_trainer, mesh)
+
+    lr = jnp.asarray(1.0)
+    for i in range(3):
+        ref_state, ref_metrics, _ = ref_step(ref_state, jbatch, lr)
+        state, metrics = step(state, sharded, lr)
+        assert np.isclose(float(metrics["loss"]), float(ref_metrics["loss"]),
+                          rtol=1e-4, atol=1e-6), i
+    np.testing.assert_allclose(
+        np.asarray(state.params), np.asarray(ref_state.params),
+        rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(state.ema_params), np.asarray(ref_state.ema_params),
+        rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(state.metric_acc), np.asarray(ref_state.metric_acc),
+        rtol=1e-4, atol=1e-6)

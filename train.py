@@ -53,6 +53,11 @@ def parse_args():
                    help="edge-partitioned (rung 2a) over N local devices: "
                    "triplet/quad row spaces sharded, host partitioning runs "
                    "in the data prefetch threads (parallel/ep.py)")
+    p.add_argument("--halo", type=int, default=0,
+                   help="fully edge-partitioned (rung 2b) over N local "
+                   "devices: edge/intm/row spaces sharded with halo "
+                   "all_to_all per block; partitioning runs in the prefetch "
+                   "threads (parallel/halo.py)")
     # multi-host (jax.distributed over DCN): every process runs this same
     # driver with its own --process-id; the dp mesh spans all processes and
     # each process feeds only its local shards (parallel/dp.py assembles the
@@ -188,7 +193,7 @@ def main():
 
     trainer = Trainer(model, tcfg)
     state = trainer.init_state(variables)
-    assert not (args.dp and args.ep), (
+    assert sum(bool(x) for x in (args.dp, args.ep, args.halo)) <= 1, (
         "train.py drives one parallel axis; dp x ep composition lives in "
         "parallel/hybrid.py (tests/test_hybrid.py)")
     # batches packed into single buffers inside the prefetch threads
@@ -211,12 +216,58 @@ def main():
         train_iter = provider.get_dataset("train", transform=ep_transform)
         ep_mesh = make_mesh(args.ep, axis_names=("ep",))
         logging.info("edge-partitioned over %d devices: %s", args.ep, ep_mesh)
+    elif args.halo:
+        # rung 2b: the halo partitioner replaces padding entirely
+        # (raw_transform) and runs in the prefetch threads; HaloPads are
+        # estimated from sample batches and grown (rare recompile) on
+        # outlier batches, mirroring provider.pad_dims
+        import threading
+
+        from gemnet_pytorch_tpu.parallel import (
+            build_halo_partition, estimate_halo_pads, make_mesh,
+        )
+
+        rng_p = np.random.RandomState(0)
+        train_idx = provider.idx["train"]
+
+        def sample_raw(n=8):
+            for _ in range(n):
+                sel = rng_p.choice(
+                    train_idx, size=min(tcfg.batch_size, len(train_idx)),
+                    replace=False)
+                yield container.build(sel)
+
+        halo_pads = estimate_halo_pads(
+            sample_raw(), args.halo, triplets_only=mcfg.triplets_only,
+            headroom=1.25, n_mol=tcfg.batch_size)
+        pads_lock = threading.Lock()
+        logging.info("halo pads: %s", halo_pads)
+
+        def halo_transform(g, Z, R, E, F):
+            nonlocal halo_pads
+            part = build_halo_partition(
+                g, Z, R, args.halo, E=E, F=F,
+                triplets_only=mcfg.triplets_only, pads=halo_pads)
+            used = part["halo_pads"]
+            if not halo_pads.covers(used):  # outlier: grow + rebuild once
+                with pads_lock:
+                    halo_pads = halo_pads.grow_to(used, headroom=1.25)
+                logging.info("halo pads grown: %s", halo_pads)
+                part = build_halo_partition(
+                    g, Z, R, args.halo, E=E, F=F,
+                    triplets_only=mcfg.triplets_only, pads=halo_pads)
+            return part
+
+        train_iter = provider.get_dataset("train", raw_transform=halo_transform)
+        ep_mesh = make_mesh(args.halo, axis_names=("ep",))
+        logging.info("halo-partitioned over %d devices: %s", args.halo, ep_mesh)
     else:
         train_iter = provider.get_dataset("train", transform=trainer.packer.pack)
     # validation stays single-device (EMA weights are replicated)
     val_iter = provider.get_dataset("val", transform=trainer.packer.pack)
     dp_step = None
     ep_step = None
+    halo_step = None
     if args.dp:
         from gemnet_pytorch_tpu.parallel import (
             make_dp_train_step, make_mesh, shard_batch_to_mesh, stack_shards,
@@ -265,7 +316,7 @@ def main():
         # they never cross a logging/checkpoint/eval boundary, keeping event
         # timing (and plateau lr_scale constancy within a chunk) exact.
         k = 1
-        if args.steps_per_call > 1 and not (args.dp or args.ep):
+        if args.steps_per_call > 1 and not (args.dp or args.ep or args.halo):
             k = min(args.steps_per_call, tcfg.num_steps - step)
             for interval in (10, tcfg.save_interval, tcfg.evaluation_interval):
                 k = min(k, interval - step % interval)
@@ -292,6 +343,15 @@ def main():
                 ep_step = make_ep_train_step(trainer, ep_mesh)
             batch = shard_ep_batch(next(train_iter), ep_mesh)
             state, _ = ep_step(state, batch, jnp.asarray(plateau.lr_scale))
+        elif args.halo:
+            if halo_step is None:
+                from gemnet_pytorch_tpu.parallel import (
+                    make_halo_train_step, shard_halo_batch,
+                )
+
+                halo_step = make_halo_train_step(trainer, ep_mesh)
+            batch = shard_halo_batch(next(train_iter), ep_mesh)
+            state, _ = halo_step(state, batch, jnp.asarray(plateau.lr_scale))
         elif k > 1:
             state, _ = trainer.train_on_batches(
                 state, [next(train_iter) for _ in range(k)], plateau.lr_scale)
