@@ -21,8 +21,12 @@ from .halo import (  # noqa: F401
     shard_halo_batch,
 )
 from .hybrid import (  # noqa: F401
+    build_dp_halo_batch,
     build_hybrid_batch,
+    make_dp_halo_loss_and_grad,
+    make_dp_halo_train_step,
     make_hybrid_loss_and_grad,
     make_hybrid_mesh,
+    shard_dp_halo_batch,
     shard_hybrid_batch,
 )
