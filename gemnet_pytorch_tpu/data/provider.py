@@ -163,7 +163,8 @@ class DataProvider:
         from concurrent.futures import ThreadPoolExecutor
 
         def generator():
-            with ThreadPoolExecutor(max_workers=prefetch_workers) as pool:
+            pool = ThreadPoolExecutor(max_workers=prefetch_workers)
+            try:
                 pending = [
                     pool.submit(build, next(sels)) for _ in range(prefetch_depth)
                 ]
@@ -171,5 +172,13 @@ class DataProvider:
                     fut = pending.pop(0)
                     pending.append(pool.submit(build, next(sels)))
                     yield fut.result()
+            finally:
+                # non-blocking, errors swallowed: the generator may be
+                # finalized during interpreter shutdown, where the threading/
+                # queue modules are already torn down and any join raises
+                try:
+                    pool.shutdown(wait=False, cancel_futures=True)
+                except Exception:
+                    pass
 
         return generator()

@@ -440,18 +440,25 @@ class Trainer:
                 _nll_parts(mean_F, var_F, tF, atom_mask), axis_name
             )
             loss = (1 - self.rho_force) * e_nll_loc + self.rho_force * f_nll_loc
+            # var diagnostics as num/den ratios so they are GLOBAL under an
+            # axis_name (a bare local mean would vary per device and break
+            # the replicated out_specs of the dp/dp-halo steps)
+            mm = mol_mask.astype(var_E.dtype)
+            am = atom_mask.astype(var_F.dtype)
+            _, energy_var = _ratios(
+                (jnp.sum(var_E * mm[:, None]), jnp.sum(mm)), axis_name)
+            _, force_var = _ratios(
+                (jnp.sum(var_F * am[:, None]), 3 * jnp.sum(am)), axis_name)
             metrics = {
                 "loss": (1 - self.rho_force) * energy_nll
                 + self.rho_force * force_nll,
                 "energy_mae": energy_mae,
                 "energy_nll": energy_nll,
-                "energy_var": jnp.sum(var_E * mol_mask[:, None])
-                / jnp.maximum(jnp.sum(mol_mask), 1.0),
+                "energy_var": energy_var,
                 "force_mae": force_mae,
                 "force_rmse": force_rmse,
                 "force_nll": force_nll,
-                "force_var": jnp.sum(var_F * atom_mask[:, None])
-                / (3 * jnp.maximum(jnp.sum(atom_mask), 1.0)),
+                "force_var": force_var,
             }
         else:
             f_loc = f_mae_loc if self.cfg.loss == "mae" else f_rmse_loc

@@ -147,3 +147,59 @@ def test_graft_entry_points():
     E, F = jax.jit(fn)(variables, batch)
     assert np.isfinite(np.asarray(E)).all()
     ge.dryrun_multichip(2)
+
+
+def test_dp_mve_var_metrics_are_global(synthetic_npz):
+    """Under MVE + dp, the var diagnostics must be GLOBAL (psum'd num/den)
+    ratios, not per-device means — they leave the shard_map with replicated
+    out_specs."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.config import ModelConfig, TrainConfig
+    from gemnet_pytorch_tpu.data import DataContainer
+    from gemnet_pytorch_tpu.data.padding import PadDims, pad_batch
+    from gemnet_pytorch_tpu.models import make_model
+    from gemnet_pytorch_tpu.parallel import (
+        make_dp_train_step, make_mesh, shard_batch_to_mesh, stack_shards,
+    )
+    from gemnet_pytorch_tpu.training import Trainer
+
+    mcfg = ModelConfig(
+        num_spherical=3, num_radial=3, num_blocks=1, emb_size_atom=16,
+        emb_size_edge=16, emb_size_trip=8, emb_size_quad=4, emb_size_rbf=4,
+        emb_size_cbf=4, emb_size_sbf=4, emb_size_bil_quad=4, emb_size_bil_trip=8,
+        triplets_only=True, direct_forces=True, num_targets=2,
+    )
+    tcfg = TrainConfig(weight_decay=2e-6, mve=True, rho_force=0.5)
+    c = DataContainer(synthetic_npz, cutoff=5.0, int_cutoff=10.0, triplets_only=True)
+    n = 2
+    graphs = [c.build([2 * s, 2 * s + 1]) for s in range(n)]
+    dims = PadDims(n_mol=2, n_atoms=32, n_edges=256, n_triplets=1024, kmax3=12)
+    shards = [
+        pad_batch(g, Z, R, dims, E=E, F=F, triplets_only=True)
+        for (g, Z, R, E, F) in graphs
+    ]
+    model = make_model(mcfg)
+    sample = {k: jnp.asarray(v) for k, v in shards[0].items()}
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(0), sample))
+    trainer = Trainer(model, tcfg)
+    state = trainer.init_state(variables)
+
+    mesh = make_mesh(n)
+    dp_step = make_dp_train_step(trainer, mesh)
+    stacked = shard_batch_to_mesh(stack_shards(shards), mesh)
+    _, metrics, _ = dp_step(state, stacked, jnp.asarray(1.0))
+
+    ev_num = ev_den = fv_num = fv_den = 0.0
+    for b in shards:
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        _, (m, cts) = trainer._loss_and_metrics(state.params, state.scales, jb)
+        ev_num += float(m["energy_var"]) * float(cts["n_mol"])
+        ev_den += float(cts["n_mol"])
+        fv_num += float(m["force_var"]) * float(cts["n_atoms"])
+        fv_den += float(cts["n_atoms"])
+    np.testing.assert_allclose(
+        float(metrics["energy_var"]), ev_num / ev_den, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(metrics["force_var"]), fv_num / fv_den, rtol=1e-5)
