@@ -58,6 +58,11 @@ def parse_args():
                    "devices: edge/intm/row spaces sharded with halo "
                    "all_to_all per block; partitioning runs in the prefetch "
                    "threads (parallel/halo.py)")
+    p.add_argument("--dp-halo", type=int, nargs=2, default=None,
+                   metavar=("DP", "EP"),
+                   help="composed 2-D mesh (production layout): DP molecule "
+                   "batches, each fully edge-partitioned over EP with halo "
+                   "all_to_alls (parallel/hybrid.py make_dp_halo_train_step)")
     # multi-host (jax.distributed over DCN): every process runs this same
     # driver with its own --process-id; the dp mesh spans all processes and
     # each process feeds only its local shards (parallel/dp.py assembles the
@@ -193,9 +198,9 @@ def main():
 
     trainer = Trainer(model, tcfg)
     state = trainer.init_state(variables)
-    assert sum(bool(x) for x in (args.dp, args.ep, args.halo)) <= 1, (
-        "train.py drives one parallel axis; dp x ep composition lives in "
-        "parallel/hybrid.py (tests/test_hybrid.py)")
+    assert sum(bool(x) for x in
+               (args.dp, args.ep, args.halo, args.dp_halo is not None)) <= 1, (
+        "pick one of --dp / --ep / --halo / --dp-halo")
     # batches packed into single buffers inside the prefetch threads
     if args.ep:
         # row partitioning runs in the prefetch threads too (transform), off
@@ -216,17 +221,19 @@ def main():
         train_iter = provider.get_dataset("train", transform=ep_transform)
         ep_mesh = make_mesh(args.ep, axis_names=("ep",))
         logging.info("edge-partitioned over %d devices: %s", args.ep, ep_mesh)
-    elif args.halo:
+    elif args.halo or args.dp_halo:
         # rung 2b: the halo partitioner replaces padding entirely
         # (raw_transform) and runs in the prefetch threads; HaloPads are
         # estimated from sample batches and grown (rare recompile) on
-        # outlier batches, mirroring provider.pad_dims
+        # outlier batches, mirroring provider.pad_dims. --dp-halo partitions
+        # each dp shard's batch the same way over EP devices.
         import threading
 
         from gemnet_pytorch_tpu.parallel import (
             build_halo_partition, estimate_halo_pads, make_mesh,
         )
 
+        n_ep_shards = args.halo or args.dp_halo[1]
         rng_p = np.random.RandomState(0)
         train_idx = provider.idx["train"]
 
@@ -238,7 +245,7 @@ def main():
                 yield container.build(sel)
 
         halo_pads = estimate_halo_pads(
-            sample_raw(), args.halo, triplets_only=mcfg.triplets_only,
+            sample_raw(), n_ep_shards, triplets_only=mcfg.triplets_only,
             headroom=1.25, n_mol=tcfg.batch_size)
         pads_lock = threading.Lock()
         logging.info("halo pads: %s", halo_pads)
@@ -246,7 +253,7 @@ def main():
         def halo_transform(g, Z, R, E, F):
             nonlocal halo_pads
             part = build_halo_partition(
-                g, Z, R, args.halo, E=E, F=F,
+                g, Z, R, n_ep_shards, E=E, F=F,
                 triplets_only=mcfg.triplets_only, pads=halo_pads)
             used = part["halo_pads"]
             if not halo_pads.covers(used):  # outlier: grow + rebuild once
@@ -254,13 +261,21 @@ def main():
                     halo_pads = halo_pads.grow_to(used, headroom=1.25)
                 logging.info("halo pads grown: %s", halo_pads)
                 part = build_halo_partition(
-                    g, Z, R, args.halo, E=E, F=F,
+                    g, Z, R, n_ep_shards, E=E, F=F,
                     triplets_only=mcfg.triplets_only, pads=halo_pads)
             return part
 
         train_iter = provider.get_dataset("train", raw_transform=halo_transform)
-        ep_mesh = make_mesh(args.halo, axis_names=("ep",))
-        logging.info("halo-partitioned over %d devices: %s", args.halo, ep_mesh)
+        if args.halo:
+            ep_mesh = make_mesh(args.halo, axis_names=("ep",))
+            logging.info(
+                "halo-partitioned over %d devices: %s", args.halo, ep_mesh)
+        else:
+            from gemnet_pytorch_tpu.parallel import make_hybrid_mesh
+
+            hybrid_mesh = make_hybrid_mesh(*args.dp_halo)
+            logging.info(
+                "dp%d x halo%d over %s", *args.dp_halo, hybrid_mesh)
     else:
         train_iter = provider.get_dataset("train", transform=trainer.packer.pack)
     # validation stays single-device (EMA weights are replicated)
@@ -268,6 +283,7 @@ def main():
     dp_step = None
     ep_step = None
     halo_step = None
+    dp_halo_step = None
     if args.dp:
         from gemnet_pytorch_tpu.parallel import (
             make_dp_train_step, make_mesh, shard_batch_to_mesh, stack_shards,
@@ -316,7 +332,8 @@ def main():
         # they never cross a logging/checkpoint/eval boundary, keeping event
         # timing (and plateau lr_scale constancy within a chunk) exact.
         k = 1
-        if args.steps_per_call > 1 and not (args.dp or args.ep or args.halo):
+        if args.steps_per_call > 1 and not (
+                args.dp or args.ep or args.halo or args.dp_halo):
             k = min(args.steps_per_call, tcfg.num_steps - step)
             for interval in (10, tcfg.save_interval, tcfg.evaluation_interval):
                 k = min(k, interval - step % interval)
@@ -352,6 +369,29 @@ def main():
                 halo_step = make_halo_train_step(trainer, ep_mesh)
             batch = shard_halo_batch(next(train_iter), ep_mesh)
             state, _ = halo_step(state, batch, jnp.asarray(plateau.lr_scale))
+        elif args.dp_halo:
+            if dp_halo_step is None:
+                from gemnet_pytorch_tpu.parallel import (
+                    make_dp_halo_train_step, shard_dp_halo_batch,
+                )
+                from gemnet_pytorch_tpu.parallel.halo import device_batch_halo
+
+                dp_halo_step = make_dp_halo_train_step(trainer, hybrid_mesh)
+            # one halo-partitioned batch per dp group; a rare pads-growth
+            # event invalidates queued partitions built with the old shape —
+            # drop those and refetch (monotone growth converges)
+            parts = []
+            while len(parts) < args.dp_halo[0]:
+                part = next(train_iter)
+                parts = [q for q in parts if q["halo_pads"] == halo_pads]
+                if part["halo_pads"] == halo_pads:
+                    parts.append(part)
+            stacked = {
+                k: np.stack([device_batch_halo(q)[k] for q in parts])
+                for k in device_batch_halo(parts[0])
+            }
+            batch = shard_dp_halo_batch(stacked, hybrid_mesh)
+            state, _ = dp_halo_step(state, batch, jnp.asarray(plateau.lr_scale))
         elif k > 1:
             state, _ = trainer.train_on_batches(
                 state, [next(train_iter) for _ in range(k)], plateau.lr_scale)
