@@ -568,12 +568,33 @@ def device_batch_halo(batch: dict) -> dict:
 
 
 def shard_halo_batch(batch: dict, mesh) -> dict:
+    """Put a halo partition onto the ep mesh.
+
+    Single-process: arrays carry the full (n_shards, ...) leading axis.
+    Multi-process (jax.distributed initialized, mesh spans all processes):
+    every process holds the SAME full partition (the partitioner is
+    deterministic); each ships only its local shard rows and the global
+    array is assembled across hosts (same contract as dp.shard_batch_to_mesh).
+    """
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding
 
     batch = device_batch_halo(batch)
     specs = halo_in_specs(batch)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        n_local = len(jax.local_devices())
+        lo = jax.process_index() * n_local
+
+        def put(v, spec):
+            local = v[lo : lo + n_local] if spec == jax.sharding.PartitionSpec(
+                EP_AXIS) else v
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(local), mesh, spec)
+
+        return {k: put(v, specs[k]) for k, v in batch.items()}
     return {
         k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, specs[k]))
         for k, v in batch.items()

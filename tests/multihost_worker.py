@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--mode", default="dp", choices=["dp", "halo"])
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
@@ -47,26 +48,43 @@ def main():
 
     import numpy as np
 
-    from multihost_common import make_setup
-
-    trainer, state, batches = make_setup(n_global)
-
     import jax.numpy as jnp
 
-    from gemnet_pytorch_tpu.parallel import (
-        make_dp_train_step,
-        make_mesh,
-        shard_batch_to_mesh,
-        stack_shards,
-    )
+    if args.mode == "halo":
+        # rung 2b across processes: halo all_to_alls ride the cross-process
+        # collective backend
+        from multihost_common import make_halo_setup
 
-    mesh = make_mesh(n_global)
-    step_fn = make_dp_train_step(trainer, mesh)
-    lo = args.process_id * args.local_devices
-    local = stack_shards(batches[lo : lo + args.local_devices])
-    stacked = shard_batch_to_mesh(local, mesh)
-    for _ in range(args.steps):
-        state, metrics, _ = step_fn(state, stacked, jnp.asarray(1.0, jnp.float32))
+        from gemnet_pytorch_tpu.parallel import (
+            make_halo_train_step,
+            make_mesh,
+            shard_halo_batch,
+        )
+
+        trainer, state, part = make_halo_setup(n_global)
+        mesh = make_mesh(n_global, axis_names=("ep",))
+        step_fn = make_halo_train_step(trainer, mesh)
+        batch = shard_halo_batch(part, mesh)
+        for _ in range(args.steps):
+            state, metrics = step_fn(state, batch, jnp.asarray(1.0, jnp.float32))
+    else:
+        from multihost_common import make_setup
+
+        from gemnet_pytorch_tpu.parallel import (
+            make_dp_train_step,
+            make_mesh,
+            shard_batch_to_mesh,
+            stack_shards,
+        )
+
+        trainer, state, batches = make_setup(n_global)
+        mesh = make_mesh(n_global)
+        step_fn = make_dp_train_step(trainer, mesh)
+        lo = args.process_id * args.local_devices
+        local = stack_shards(batches[lo : lo + args.local_devices])
+        stacked = shard_batch_to_mesh(local, mesh)
+        for _ in range(args.steps):
+            state, metrics, _ = step_fn(state, stacked, jnp.asarray(1.0, jnp.float32))
     loss = float(jax.device_get(metrics["loss"]))
 
     if args.process_id == 0:
