@@ -56,7 +56,7 @@ def main():
         g, Z, R = batch_graphs(kind, cfg)
         print(f"== {kind}: {g.n_edges} edges, {g.n_triplets} trip, "
               f"{g.n_quads} quads, {len(Z)} atoms")
-        for S in (1, 2, 4, 8):
+        for S in (1, 2, 4, 8, 16, 32, 64):
             part = build_halo_partition(g, Z, R, S, triplets_only=False)
             E_loc, h_e, T_loc, I_ca, I_db, h_i, Q_loc = part["halo_meta"]
             trip_rows = part["trip_mask"].sum(axis=1)
