@@ -41,32 +41,44 @@ class QuadrupletInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, m, rbf, cbf, sbf, quad_row_splits, id_swap, id4_reduce_ca,
-                 id4_expand_intm_db, id4_expand_abd, masks, halo=None):
-        x_db = Dense(self.emb_size_edge, activation=self.activation,
-                     dtype=self.dtype, name="dense_db")(m)
+                 id4_expand_intm_db, id4_expand_abd, masks, halo=None,
+                 stage="all", x_pre=None):
+        # Two-stage calling convention (halo comm/compute overlap): the
+        # prelude ends exactly where the intm-row activations become the
+        # payload of the halo all_to_all; InteractionBlock issues both
+        # spaces' exchanges between the prelude and finish calls so each
+        # collective overlaps the other path's dense work. stage="all"
+        # (single-device / rung-2a path) is the fused original behavior.
+        if stage != "finish":
+            x_db = Dense(self.emb_size_edge, activation=self.activation,
+                         dtype=self.dtype, name="dense_db")(m)
 
-        # radial basis hadamard
-        x_db2 = x_db * Dense(self.emb_size_edge, dtype=self.dtype, name="mlp_rbf")(rbf)
-        x_db = ScalingFactor(self.scale_prefix + "_had_rbf", name="scale_rbf")(
-            x_db, x_db2, mask_ref=masks["edge"], mask_y=masks["edge"]
-        )
-        x_db = Dense(self.emb_size_quad, activation=self.activation,
-                     dtype=self.dtype, name="down_projection")(x_db)
+            # radial basis hadamard
+            x_db2 = x_db * Dense(self.emb_size_edge, dtype=self.dtype, name="mlp_rbf")(rbf)
+            x_db = ScalingFactor(self.scale_prefix + "_had_rbf", name="scale_rbf")(
+                x_db, x_db2, mask_ref=masks["edge"], mask_y=masks["edge"]
+            )
+            x_db = Dense(self.emb_size_quad, activation=self.activation,
+                         dtype=self.dtype, name="down_projection")(x_db)
 
-        # circular basis hadamard on the intermediate d->b space (halo mode:
-        # intm_db rows live with their d->b edge, so this gather is LOCAL)
-        x_db = x_db[id4_expand_intm_db]
-        x_db2 = x_db * Dense(self.emb_size_quad, dtype=self.dtype, name="mlp_cbf")(cbf)
-        x_db = ScalingFactor(self.scale_prefix + "_had_cbf", name="scale_cbf")(
-            x_db, x_db2, mask_ref=masks["intm_db"], mask_y=masks["intm_db"]
-        )
+            # circular basis hadamard on the intermediate d->b space (halo mode:
+            # intm_db rows live with their d->b edge, so this gather is LOCAL)
+            x_db = x_db[id4_expand_intm_db]
+            x_db2 = x_db * Dense(self.emb_size_quad, dtype=self.dtype, name="mlp_cbf")(cbf)
+            x_db = ScalingFactor(self.scale_prefix + "_had_cbf", name="scale_cbf")(
+                x_db, x_db2, mask_ref=masks["intm_db"], mask_y=masks["intm_db"]
+            )
+            if stage == "prelude":
+                return x_db
 
-        # spherical basis bilinear over quadruplets -> edges (halo mode: one
-        # all_to_all fetches the remote intm rows local quads reference)
-        if halo is not None:
-            from ..parallel.halo import halo_extend
+            # spherical basis bilinear over quadruplets -> edges (halo mode: one
+            # all_to_all fetches the remote intm rows local quads reference)
+            if halo is not None:
+                from ..parallel.halo import halo_extend
 
-            x_db = halo_extend(x_db, *halo["intm_send"], halo["axis"])
+                x_db = halo_extend(x_db, *halo["intm_send"], halo["axis"])
+        else:
+            x_db = x_pre  # prelude output, halo-extended by the caller
         x_db = x_db[id4_expand_abd]
         rbf_W1, sph_rows = sbf
         x = EfficientInteractionBilinear(
@@ -104,23 +116,30 @@ class TripletInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, m, rbf3, cbf3, trip_row_splits, id_swap, id3_expand_ba,
-                 id3_reduce_ca, masks, halo=None):
-        x_ba = Dense(self.emb_size_edge, activation=self.activation,
-                     dtype=self.dtype, name="dense_ba")(m)
+                 id3_reduce_ca, masks, halo=None, stage="all", x_pre=None):
+        # Same two-stage convention as QuadrupletInteraction: the prelude
+        # ends at the down-projected edge activations (the halo payload).
+        if stage != "finish":
+            x_ba = Dense(self.emb_size_edge, activation=self.activation,
+                         dtype=self.dtype, name="dense_ba")(m)
 
-        x_ba2 = x_ba * Dense(self.emb_size_edge, dtype=self.dtype, name="mlp_rbf")(rbf3)
-        x_ba = ScalingFactor(self.scale_prefix + "_had_rbf", name="scale_rbf")(
-            x_ba, x_ba2, mask_ref=masks["edge"], mask_y=masks["edge"]
-        )
-        x_ba = Dense(self.emb_size_trip, activation=self.activation,
-                     dtype=self.dtype, name="down_projection")(x_ba)
+            x_ba2 = x_ba * Dense(self.emb_size_edge, dtype=self.dtype, name="mlp_rbf")(rbf3)
+            x_ba = ScalingFactor(self.scale_prefix + "_had_rbf", name="scale_rbf")(
+                x_ba, x_ba2, mask_ref=masks["edge"], mask_y=masks["edge"]
+            )
+            x_ba = Dense(self.emb_size_trip, activation=self.activation,
+                         dtype=self.dtype, name="down_projection")(x_ba)
+            if stage == "prelude":
+                return x_ba
 
-        # halo mode: one all_to_all fetches the remote edge rows local
-        # triplets reference, then the (remapped) expand gather is local
-        if halo is not None:
-            from ..parallel.halo import halo_extend
+            # halo mode: one all_to_all fetches the remote edge rows local
+            # triplets reference, then the (remapped) expand gather is local
+            if halo is not None:
+                from ..parallel.halo import halo_extend
 
-            x_ba = halo_extend(x_ba, *halo["edge_send"], halo["axis"])
+                x_ba = halo_extend(x_ba, *halo["edge_send"], halo["axis"])
+        else:
+            x_ba = x_pre  # prelude output, halo-extended by the caller
         x_ba = x_ba[id3_expand_ba]
         rbf_W1, sph_rows = cbf3
         x = EfficientInteractionBilinear(
@@ -187,7 +206,7 @@ class InteractionBlock(nn.Module):
                 halo["intm_send"] = (indices["intm_halo_send_idx"],
                                      indices["intm_halo_send_mask"])
 
-        x3 = TripletInteraction(
+        trip = TripletInteraction(
             emb_size_edge=self.emb_size_edge,
             emb_size_trip=self.emb_size_trip,
             emb_size_bilinear=self.emb_size_bil_trip,
@@ -197,14 +216,15 @@ class InteractionBlock(nn.Module):
             ep_axis=sub_ep_axis,
             dtype=self.dtype,
             name="trip_interaction",
-        )(
+        )
+        t_args = (
             m, basis["rbf3"], basis["cbf3"], indices["trip_row_splits"],
             indices["id_swap"], indices["id3_expand_ba"],
-            indices["id3_reduce_ca"], masks, halo=halo,
+            indices["id3_reduce_ca"], masks,
         )
-
+        quad = None
         if not self.triplets_only:
-            x4 = QuadrupletInteraction(
+            quad = QuadrupletInteraction(
                 emb_size_edge=self.emb_size_edge,
                 emb_size_quad=self.emb_size_quad,
                 emb_size_bilinear=self.emb_size_bil_quad,
@@ -214,12 +234,38 @@ class InteractionBlock(nn.Module):
                 ep_axis=sub_ep_axis,
                 dtype=self.dtype,
                 name="quad_interaction",
-            )(
+            )
+            q_args = (
                 m, basis["rbf4"], basis["cbf4"], basis["sbf4"],
                 indices["quad_row_splits"], indices["id_swap"],
                 indices["id4_reduce_ca"], indices["id4_expand_intm_db"],
-                indices["id4_expand_abd"], masks, halo=halo,
+                indices["id4_expand_abd"], masks,
             )
+
+        if halo is not None:
+            # Comm/compute overlap: issue each space's halo all_to_all as
+            # soon as its payload exists and consume it as late as possible —
+            # the edge exchange flies during the quad prelude (4 dense layers
+            # over the intm space) and the intm exchange flies during the
+            # triplet bilinear. XLA's TPU latency-hiding scheduler turns the
+            # program-order gap between -start/-done into real ICI overlap;
+            # exactness is unchanged (tests/test_halo.py).
+            from ..parallel.halo import halo_extend
+
+            x_ba = trip(*t_args, stage="prelude")
+            x_ba = halo_extend(x_ba, *halo["edge_send"], halo["axis"])
+            if quad is not None:
+                x_db = quad(*q_args, stage="prelude")
+                x_db = halo_extend(x_db, *halo["intm_send"], halo["axis"])
+            x3 = trip(*t_args, stage="finish", x_pre=x_ba)
+            if quad is not None:
+                x4 = quad(*q_args, stage="finish", x_pre=x_db)
+        else:
+            x3 = trip(*t_args)
+            if quad is not None:
+                x4 = quad(*q_args)
+
+        if not self.triplets_only:
             x = (x_ca_skip + x3 + x4) * _INV_SQRT3
         else:
             x = (x_ca_skip + x3) * _INV_SQRT2

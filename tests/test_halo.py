@@ -280,3 +280,71 @@ def test_halo_train_step_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(state.metric_acc), np.asarray(ref_state.metric_acc),
         rtol=1e-4, atol=1e-6)
+
+
+def test_halo_overlap_issue_order():
+    """Comm/compute overlap structure (models/interaction.py): in program
+    order, BOTH of a block's halo all_to_alls (edge + intm space) are issued
+    back-to-back BEFORE either space's bilinear consumes one — so each
+    exchange has the other path's dense/bilinear work to overlap with (the
+    TPU latency-hiding scheduler hides the ICI latency inside that gap).
+
+    Asserted on the traced jaxpr: filtering the primitive stream to
+    {all_to_all, scatter-add (the segment reduces)}, the all_to_alls of the
+    forward must appear in ADJACENT PAIRS (no segment reduce between the
+    edge-space and intm-space exchange of a block)."""
+    import dataclasses
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from gemnet_pytorch_tpu.models import energy_and_forces, make_model
+    from gemnet_pytorch_tpu.parallel import make_mesh
+    from gemnet_pytorch_tpu.parallel.halo import (
+        EP_AXIS,
+        SHARDED_KEYS,
+        device_batch_halo,
+        halo_in_specs,
+    )
+
+    model, variables, jbatch, data = _setup(triplets_only=False)
+    part = _halo_batch(data, 4, False)
+    mesh = make_mesh(4, axis_names=("ep",))
+    halo_model = make_model(
+        dataclasses.replace(model.config, ep_axis=EP_AXIS, ep_halo=True)
+    )
+
+    def device_fn(v, b):
+        local = {k: (x[0] if k in SHARDED_KEYS else x) for k, x in b.items()}
+        E, F, _ = energy_and_forces(halo_model, v, local)
+        return E, F
+
+    batch = device_batch_halo(part)
+    sharded = jax.shard_map(
+        device_fn, mesh=mesh, in_specs=(P(), halo_in_specs(batch)),
+        out_specs=(P(), P()), check_vma=True,
+    )
+    jaxpr = jax.make_jaxpr(sharded)(variables, batch)
+
+    prims: list[str] = []
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            prims.append(eqn.primitive.name)
+            for val in eqn.params.values():
+                for v in val if isinstance(val, (list, tuple)) else (val,):
+                    if hasattr(v, "jaxpr"):  # ClosedJaxpr
+                        walk(v.jaxpr)
+                    elif hasattr(v, "eqns"):  # Jaxpr
+                        walk(v)
+
+    walk(jaxpr.jaxpr)
+    events = [p for p in prims if p in ("all_to_all", "scatter-add")]
+    a2a = [i for i, p in enumerate(events) if p == "all_to_all"]
+    # 2 exchanges per block (direct forces: forward program only)
+    assert len(a2a) == 2 * model.config.num_blocks, (len(a2a), events)
+    for k in range(0, len(a2a), 2):
+        assert a2a[k + 1] == a2a[k] + 1, (
+            "halo exchanges must be issued as an adjacent pair before the "
+            f"block's segment reduces; got event stream {events}"
+        )
