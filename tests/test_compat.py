@@ -187,3 +187,41 @@ def test_hadamard_matches_reference():
                  implementation="xla")
     )
     np.testing.assert_allclose(y, ref_y, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("triplets_only,direct_forces",
+                         [(False, False), (True, True)])
+def test_torch_export_round_trip(triplets_only, direct_forces):
+    """Export inverts import: reference state_dict -> flax -> state_dict is
+    the identity over the reference's FULL (aliased) key set, and the export
+    loads back into the reference model strict=True (the reference's
+    save_weights/load_weights round trip, gemnet.py:786-790)."""
+    import torch
+
+    from test_model_parity import SMALL, _reference_model
+
+    from gemnet_pytorch_tpu.compat import (
+        export_reference_state_dict,
+        import_reference_state_dict,
+    )
+    from gemnet_pytorch_tpu.config import ModelConfig
+
+    ref_model = _reference_model(triplets_only, direct_forces)
+    ref_sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    cfg = ModelConfig(
+        triplets_only=triplets_only, direct_forces=direct_forces,
+        num_targets=1, **SMALL,
+    )
+    variables = _variables(cfg)
+    imported = import_reference_state_dict(ref_sd, dict(variables))
+    exported = export_reference_state_dict(imported, cfg)
+
+    assert set(exported) == set(ref_sd)
+    for k, v in ref_sd.items():
+        np.testing.assert_allclose(exported[k], v, rtol=1e-6, atol=1e-7,
+                                   err_msg=k)
+
+    ref_model.load_state_dict(
+        {k: torch.from_numpy(np.array(v)) for k, v in exported.items()},
+        strict=True)
