@@ -39,6 +39,10 @@ def parse_args():
     p.add_argument("--logdir", default=None)
     p.add_argument("--restart", default=None)
     p.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
+    p.add_argument("--export-torch", default=None,
+                   help="after training, export the EMA weights as a "
+                   "reference-loadable PyTorch .pth state dict "
+                   "(compat.torch_export)")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel over N devices (0 = single device; "
                    "multihost: GLOBAL device count, defaults to all)")
@@ -449,6 +453,16 @@ def main():
 
     if is_main:
         save_checkpoint(ckpt_path, state, plateau)
+        if args.export_torch:
+            from gemnet_pytorch_tpu.compat import save_reference_checkpoint
+
+            save_reference_checkpoint(
+                args.export_torch,
+                {"params": trainer.ema_tree(state),
+                 "scale_factors": state.scales},
+                mcfg,
+            )
+            logging.info("exported reference .pth to %s", args.export_torch)
     logging.info("done; best: %s", dict(best_metrics.items()))
     return {f"{k}_best": v for k, v in best_metrics.items()}
 
