@@ -71,6 +71,31 @@ def make_dp_train_step(trainer: Trainer, mesh: Mesh):
     return jax.jit(sharded)
 
 
+def make_dp_predict_fn(model, mesh: Mesh):
+    """Sharded batched inference: jitted (variables, stacked_batch) -> (E, F)
+    with the leading device axis preserved. Each device runs the full model
+    (energy + the model's force path, incl. -dE/dR via jax.grad inside the
+    shard) on its own padded shard; variables are replicated. This is the
+    serving counterpart of make_dp_train_step — throughput scales with mesh
+    size, no collectives on the hot path. (Reference counterpart:
+    gemnet.py:780-784 `predict`, single GPU.)"""
+    from ..models import energy_and_forces
+
+    def device_predict(variables, batch):
+        batch = {k: v[0] for k, v in batch.items()}
+        E, F, _ = energy_and_forces(model, variables, batch)
+        return E[None], F[None]
+
+    sharded = jax.shard_map(
+        device_predict,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_dp_eval_step(trainer: Trainer, mesh: Mesh):
     def device_eval(params, scales, batch):
         batch = {k: v[0] for k, v in batch.items()}

@@ -203,3 +203,39 @@ def test_dp_mve_var_metrics_are_global(synthetic_npz):
         float(metrics["energy_var"]), ev_num / ev_den, rtol=1e-5)
     np.testing.assert_allclose(
         float(metrics["force_var"]), fv_num / fv_den, rtol=1e-5)
+
+
+def test_dp_predict_matches_single_device(synthetic_npz):
+    """make_dp_predict_fn: sharded inference returns exactly the per-shard
+    single-device energies/forces (serving path, no collectives)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.models import energy_and_forces
+    from gemnet_pytorch_tpu.parallel import (
+        make_dp_predict_fn,
+        make_mesh,
+        shard_batch_to_mesh,
+        stack_shards,
+    )
+
+    n = 4
+    trainer, state, shards = _setup(n, synthetic_npz)
+    model = trainer.model
+    variables = {"params": trainer.params_tree(state.params)}
+    if state.scales:
+        variables["scale_factors"] = state.scales
+
+    mesh = make_mesh(n)
+    predict = make_dp_predict_fn(model, mesh)
+    stacked = shard_batch_to_mesh(stack_shards(shards), mesh)
+    E, F = predict(variables, stacked)
+    assert E.shape[0] == n and F.shape[0] == n
+
+    for s, shard in enumerate(shards):
+        jb = {k: jnp.asarray(v) for k, v in shard.items()}
+        E1, F1, _ = energy_and_forces(model, variables, jb)
+        np.testing.assert_allclose(np.asarray(E[s]), np.asarray(E1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(F[s]), np.asarray(F1),
+                                   rtol=1e-5, atol=1e-5)
