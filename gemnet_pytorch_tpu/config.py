@@ -69,6 +69,12 @@ class ModelConfig:
     # parallel/halo.build_halo_partition (local edge/row spaces + halo
     # exchange); ep_axis names the mesh axis for the all_to_alls/psums
     ep_halo: bool = False
+    # rematerialize each interaction/output block pair in the backward pass
+    # (jax.checkpoint via nn.remat): trades ~1 extra forward of FLOPs for not
+    # holding every block's intermediates live through the force-training
+    # double backward — the HBM lever for very large graphs (no reference
+    # counterpart; fp32-identical numerics, tests/test_remat.py)
+    remat_blocks: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "ModelConfig":

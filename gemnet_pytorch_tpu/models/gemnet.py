@@ -237,8 +237,14 @@ class GemNet(nn.Module):
             name="out_blocks_0",
         )(h, m, rbf_out, id_a, edge_mask, atom_mask)
 
+        # remat: recompute each block pair in the backward instead of holding
+        # its intermediates (double-backward memory scales with num_blocks
+        # otherwise); numerics are unchanged
+        IBlock = nn.remat(InteractionBlock) if cfg.remat_blocks else InteractionBlock
+        OBlock = nn.remat(OutputBlock) if cfg.remat_blocks else OutputBlock
+
         for i in range(cfg.num_blocks):
-            h, m = InteractionBlock(
+            h, m = IBlock(
                 emb_size_atom=cfg.emb_size_atom,
                 emb_size_edge=cfg.emb_size_edge,
                 emb_size_trip=cfg.emb_size_trip,
@@ -258,7 +264,7 @@ class GemNet(nn.Module):
                 dtype=cdt,
                 name=f"int_blocks_{i}",
             )(h, m, basis, indices, masks)
-            E, F = OutputBlock(
+            E, F = OBlock(
                 emb_size_atom=cfg.emb_size_atom,
                 emb_size_edge=cfg.emb_size_edge,
                 n_hidden=cfg.num_atom,
