@@ -22,13 +22,28 @@ def _abspath(path: str) -> str:
     return os.path.abspath(os.path.expanduser(path))
 
 
+def _to_host(tree: Any) -> Any:
+    """Fetch the payload to host numpy in one pass before orbax sees it.
+
+    Handing device arrays to orbax triggers its jitted sharding/transfer
+    helpers; on the tunneled TPU runtime those pay remote compiles — a
+    measured 85 s first-save stall (vs 1 s after caching, 0.2 s on CPU;
+    artifacts_r02_tpu_session3.md). A plain device_get is a pure transfer,
+    no compile, and the state is a handful of flat buffers."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "dtype") else x, jax.device_get(tree)
+    )
+
+
 def save_checkpoint(
     path: str, state: TrainState, plateau: Optional[PlateauState] = None
 ) -> None:
     path = _abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
+        ckptr.save(path, _to_host(state), force=True)
     if plateau is not None:
         np.savez(path + ".plateau.npz", **plateau.state_dict())
 
@@ -53,7 +68,7 @@ def save_params(path: str, params: Any, scales: Any = None) -> None:
     if scales:
         payload["scale_factors"] = scales
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, payload, force=True)
+        ckptr.save(path, _to_host(payload), force=True)
 
 
 def restore_params(path: str, target: dict) -> dict:
