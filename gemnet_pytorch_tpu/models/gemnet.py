@@ -65,7 +65,12 @@ class GemNet(nn.Module):
             )
 
     @nn.compact
-    def __call__(self, batch: dict[str, jnp.ndarray], R: Optional[jnp.ndarray] = None):
+    def __call__(
+        self,
+        batch: dict[str, jnp.ndarray],
+        R: Optional[jnp.ndarray] = None,
+        return_state: bool = False,
+    ):
         """Returns (E, F_edge_or_atom):
 
         - E: (n_mol_pad, num_targets) per-molecule energies
@@ -74,6 +79,12 @@ class GemNet(nn.Module):
           the caller (energy_and_forces) derives -dE/dR.
 
         `R` overrides batch["R"] so jax.grad can differentiate w.r.t. it.
+
+        `return_state=True` stops after the preamble (geometry, bases, shared
+        down-projections, embeddings, OutBlock_0) and returns the pipeline
+        state dict instead — the handoff point for pipeline-parallel
+        execution (parallel/pp.py), whose stages run the interaction/output
+        block pairs and whose tail is `finalize_outputs`.
         """
         cfg = self.config
         # bf16 mixed-precision mode: geometry + basis GENERATION stay fp32
@@ -85,9 +96,9 @@ class GemNet(nn.Module):
         if R is None:
             R = batch["R"]
         with jax.default_matmul_precision(cfg.matmul_precision):
-            return self._forward(batch, R, cdt)
+            return self._forward(batch, R, cdt, return_state=return_state)
 
-    def _forward(self, batch, R, cdt):
+    def _forward(self, batch, R, cdt, return_state=False):
         cfg = self.config
         Z = batch["Z"]
         id_c, id_a = batch["id_c"], batch["id_a"]
@@ -237,6 +248,15 @@ class GemNet(nn.Module):
             name="out_blocks_0",
         )(h, m, rbf_out, id_a, edge_mask, atom_mask)
 
+        if return_state:
+            # pipeline handoff: carried state (h, m, E_a, F_ca) + the
+            # per-microbatch constants every stage consumes (parallel/pp.py)
+            return {
+                "h": h, "m": m, "E_a": E_a, "F_ca": F_ca,
+                "basis": basis, "rbf_out": rbf_out,
+                "indices": indices, "masks": masks, "V_ca": V_ca,
+            }
+
         # remat: recompute each block pair in the backward instead of holding
         # its intermediates (double-backward memory scales with num_blocks
         # otherwise); numerics are unchanged
@@ -280,29 +300,38 @@ class GemNet(nn.Module):
             E_a = E_a + E
             F_ca = F_ca + F
 
-        # ---- per-molecule energy (reference gemnet.py:578-584) ----
-        n_mol = batch["mol_mask"].shape[0]
-        if cfg.extensive:
-            E_mol = masked_segment_sum(E_a, batch["batch_seg"], n_mol, mask=atom_mask)
-        else:
-            E_mol = masked_segment_mean(E_a, batch["batch_seg"], n_mol, mask=atom_mask)
+        return finalize_outputs(cfg, batch, E_a, F_ca, V_ca)
 
-        E_mol = E_mol.astype(jnp.float32)
-        if cfg.direct_forces:
-            if cfg.forces_coupled:
-                # |F_ca| = |F_ac| via undirected mean (reference gemnet.py:588-592)
-                n_undir = id_c.shape[0] // 2
-                F_und = masked_segment_mean(
-                    F_ca, batch["id_undir"], n_undir, mask=edge_mask
-                )
-                F_ca = F_und[batch["id_undir"]]
-            # map scalar heads onto edge directions, aggregate per atom
-            F_ji = F_ca[:, :, None] * V_ca[:, None, :]  # (E, T, 3)
-            F_atom = masked_segment_sum(F_ji, id_a, n_atoms, mask=edge_mask)
-            if cfg.ep_halo:
-                F_atom = jax.lax.psum(F_atom, cfg.ep_axis)
-            return E_mol, F_atom.astype(jnp.float32)
-        return E_mol, F_ca.astype(jnp.float32)
+
+def finalize_outputs(cfg: ModelConfig, batch, E_a, F_ca, V_ca):
+    """Post-block tail: per-molecule energy aggregation + the direct-force
+    edge->atom mapping (reference gemnet.py:578-592). Shared between the
+    monolithic forward and the pipeline executor (parallel/pp.py)."""
+    atom_mask, edge_mask = batch["atom_mask"], batch["edge_mask"]
+    n_mol = batch["mol_mask"].shape[0]
+    if cfg.extensive:
+        E_mol = masked_segment_sum(E_a, batch["batch_seg"], n_mol, mask=atom_mask)
+    else:
+        E_mol = masked_segment_mean(E_a, batch["batch_seg"], n_mol, mask=atom_mask)
+
+    E_mol = E_mol.astype(jnp.float32)
+    if cfg.direct_forces:
+        if cfg.forces_coupled:
+            # |F_ca| = |F_ac| via undirected mean (reference gemnet.py:588-592)
+            n_undir = batch["id_c"].shape[0] // 2
+            F_und = masked_segment_mean(
+                F_ca, batch["id_undir"], n_undir, mask=edge_mask
+            )
+            F_ca = F_und[batch["id_undir"]]
+        # map scalar heads onto edge directions, aggregate per atom
+        F_ji = F_ca[:, :, None] * V_ca[:, None, :]  # (E, T, 3)
+        F_atom = masked_segment_sum(
+            F_ji, batch["id_a"], batch["Z"].shape[0], mask=edge_mask
+        )
+        if cfg.ep_halo:
+            F_atom = jax.lax.psum(F_atom, cfg.ep_axis)
+        return E_mol, F_atom.astype(jnp.float32)
+    return E_mol, F_ca.astype(jnp.float32)
 
 
 def make_model(cfg: ModelConfig) -> GemNet:

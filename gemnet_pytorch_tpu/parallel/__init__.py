@@ -31,3 +31,16 @@ from .hybrid import (  # noqa: F401
     shard_dp_halo_batch,
     shard_hybrid_batch,
 )
+from .pp import (  # noqa: F401
+    make_pp_energy_and_forces,
+    make_pp_loss_and_grad,
+    merge_pp_variables,
+    split_pp_variables,
+    stack_microbatches,
+)
+from .tp import (  # noqa: F401
+    make_tp_energy_and_forces,
+    make_tp_loss_and_grad,
+    shard_tp_variables,
+    tp_param_specs,
+)

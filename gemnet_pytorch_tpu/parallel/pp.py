@@ -1,0 +1,335 @@
+"""Pipeline parallelism: the interaction-block stack staged over a `pp` mesh.
+
+The reference is strictly single-device (no counterpart; SURVEY.md §2
+callout), so this is a new TPU-first layer: GemNet's block stack is a
+sequential chain of structurally identical interaction+output block pairs
+(models/gemnet.py block loop), which maps directly onto a GPipe schedule:
+
+- stage s (one device on the `pp` mesh axis) owns the parameters of
+  `num_blocks / S` consecutive block pairs — parameter and optimizer memory
+  for the stack shrinks 1/S per chip, and so does per-stage activation
+  residency for the double backward;
+- a batch is split into M microbatches; the carried state per microbatch is
+  tiny and fixed — (h, m, E_a, F_ca), i.e. O(nEdges * emb_size_edge) — and
+  moves stage-to-stage with ONE neighbor `ppermute` per tick, which rides a
+  single ICI hop on a ring-mapped mesh;
+- the preamble (geometry, bases, shared down-projections, embeddings,
+  OutBlock_0 — `GemNet.__call__(return_state=True)`) and the tail
+  (`finalize_outputs`) run replicated and vmapped over microbatches: they
+  are a small fraction of the FLOPs (no triplet/quad bilinears) and keeping
+  them replicated makes the pipelined program exactly equivalent to the
+  monolithic one;
+- the classic GPipe bubble is (S-1)/(M+S-1) of the ticks; choose M >= 4*S.
+
+Exactness: the schedule is pure dataflow rearrangement — same ops, same
+microbatch padding — so energies, forces (both the direct head and -dE/dR
+through the whole pipeline), and parameter gradients match the monolithic
+model to fp tolerance (tests/test_pp.py). Gradients use the same recipe as
+ep/halo: vma-tracked shard_map (`check_vma=True`) with `jax.grad` OUTSIDE,
+so the transpose of the ppermute ring and of the stage-parameter indexing
+is handled by JAX's varying-manual-axes machinery.
+
+Composition: stage parameters are a stacked pytree with a leading S axis
+sharded over `pp`; everything else (microbatch constants, preamble params)
+is replicated over `pp`, so a dp x pp mesh composes the same way as
+dp x ep (parallel/hybrid.py).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import ModelConfig
+from ..models.gemnet import finalize_outputs
+from ..models.interaction import InteractionBlock
+from ..models.layers import OutputBlock
+
+AXIS = "pp"
+
+_SCALE_RE = re.compile(
+    r"^((?:TripInteraction|QuadInteraction|AtomUpdate|OutBlock)_)(\d+)(.*)$"
+)
+
+
+class PipelineStage(nn.Module):
+    """`blocks_per_stage` consecutive interaction/output block pairs.
+
+    Parameter names are stage-generic (`iblock_j` / `oblock_j`, scale names
+    renumbered to the within-stage index) so ONE compiled stage program runs
+    on every device of the `pp` axis; `split_pp_variables` maps the
+    monolithic GemNet parameter tree onto this layout and back.
+    """
+
+    config: ModelConfig
+    blocks_per_stage: int
+
+    @nn.compact
+    def __call__(self, carry, consts):
+        cfg = self.config
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        h, m = carry["h"], carry["m"]
+        E_a, F_ca = carry["E_a"], carry["F_ca"]
+        basis, indices, masks = consts["basis"], consts["indices"], consts["masks"]
+        rbf_out = consts["rbf_out"]
+
+        IBlock = nn.remat(InteractionBlock) if cfg.remat_blocks else InteractionBlock
+        OBlock = nn.remat(OutputBlock) if cfg.remat_blocks else OutputBlock
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            for j in range(self.blocks_per_stage):
+                h, m = IBlock(
+                    emb_size_atom=cfg.emb_size_atom,
+                    emb_size_edge=cfg.emb_size_edge,
+                    emb_size_trip=cfg.emb_size_trip,
+                    emb_size_quad=cfg.emb_size_quad,
+                    emb_size_bil_trip=cfg.emb_size_bil_trip,
+                    emb_size_bil_quad=cfg.emb_size_bil_quad,
+                    num_before_skip=cfg.num_before_skip,
+                    num_after_skip=cfg.num_after_skip,
+                    num_concat=cfg.num_concat,
+                    num_atom=cfg.num_atom,
+                    triplets_only=cfg.triplets_only,
+                    block_nr=j + 1,
+                    activation=cfg.activation,
+                    implementation=cfg.bilinear_implementation,
+                    dtype=cdt,
+                    name=f"iblock_{j}",
+                )(h, m, basis, indices, masks)
+                E, F = OBlock(
+                    emb_size_atom=cfg.emb_size_atom,
+                    emb_size_edge=cfg.emb_size_edge,
+                    n_hidden=cfg.num_atom,
+                    num_targets=cfg.num_targets,
+                    activation=cfg.activation,
+                    direct_forces=cfg.direct_forces,
+                    output_init=cfg.output_init,
+                    scale_prefix=f"OutBlock_{j + 1}",
+                    dtype=cdt,
+                    name=f"oblock_{j}",
+                )(h, m, rbf_out, indices["id_a"], masks["edge"], masks["atom"])
+                E_a = E_a + E
+                F_ca = F_ca + F
+        return {"h": h, "m": m, "E_a": E_a, "F_ca": F_ca}
+
+
+def _rename_scales(tree, new_nr: int):
+    """Renumber reference-global scale names (e.g. TripInteraction_3_had_rbf
+    -> TripInteraction_1_had_rbf) so block i's scales load into the
+    stage-generic module; exact inverse applied by merge_pp_variables."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for key, val in tree.items():
+        mm = _SCALE_RE.match(key)
+        if mm is not None and not isinstance(val, dict):
+            key = f"{mm.group(1)}{new_nr}{mm.group(3)}"
+        out[key] = _rename_scales(val, new_nr)
+    return out
+
+
+def split_pp_variables(variables, num_blocks: int, num_stages: int):
+    """Monolithic GemNet variables -> (pre_vars, stacked stage_vars).
+
+    pre_vars: everything outside the block stack (bases, embeddings,
+    OutBlock_0, frequencies) — replicated over `pp`.
+    stage_vars: per-collection dict with keys iblock_j / oblock_j whose
+    leaves carry a leading (num_stages,) axis — shard it over `pp`.
+    """
+    assert num_blocks % num_stages == 0, (num_blocks, num_stages)
+    k = num_blocks // num_stages
+    blocked = {f"int_blocks_{i}" for i in range(num_blocks)} | {
+        f"out_blocks_{i + 1}" for i in range(num_blocks)
+    }
+    pre_vars, per_stage = {}, [dict() for _ in range(num_stages)]
+    for col, tree in dict(variables).items():
+        tree = dict(tree)
+        pre_vars[col] = {kk: v for kk, v in tree.items() if kk not in blocked}
+        for s in range(num_stages):
+            stage = {}
+            for j in range(k):
+                i = s * k + j
+                if f"int_blocks_{i}" in tree:
+                    stage[f"iblock_{j}"] = _rename_scales(
+                        dict(tree[f"int_blocks_{i}"]), j + 1
+                    )
+                if f"out_blocks_{i + 1}" in tree:
+                    stage[f"oblock_{j}"] = _rename_scales(
+                        dict(tree[f"out_blocks_{i + 1}"]), j + 1
+                    )
+            per_stage[s][col] = stage
+    stage_vars = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_stage)
+    return pre_vars, stage_vars
+
+
+def merge_pp_variables(pre_vars, stage_vars, num_blocks: int, num_stages: int):
+    """Inverse of split_pp_variables (also merges gradient trees)."""
+    k = num_blocks // num_stages
+    out = {}
+    for col, tree in dict(pre_vars).items():
+        out[col] = dict(tree)
+    stage_vars = jax.device_get(stage_vars)
+    for s in range(num_stages):
+        for col, stage in dict(stage_vars).items():
+            for j in range(k):
+                i = s * k + j
+                if f"iblock_{j}" in stage:
+                    out.setdefault(col, {})[f"int_blocks_{i}"] = _rename_scales(
+                        jax.tree_util.tree_map(lambda x: x[s], stage[f"iblock_{j}"]),
+                        i + 1,
+                    )
+                if f"oblock_{j}" in stage:
+                    out.setdefault(col, {})[f"out_blocks_{i + 1}"] = _rename_scales(
+                        jax.tree_util.tree_map(lambda x: x[s], stage[f"oblock_{j}"]),
+                        i + 1,
+                    )
+    return out
+
+
+def stack_microbatches(batches):
+    """Stack per-microbatch padded batch dicts along a leading M axis."""
+    import numpy as np
+
+    keys = batches[0].keys()
+    return {kk: np.stack([b[kk] for b in batches]) for kk in keys}
+
+
+def _make_pipeline_fn(model, mesh: Mesh, num_micro: int, axis: str = AXIS):
+    """shard_map'd (stage_vars, carry0, consts) -> (E_a, F_ca) over the
+    GPipe schedule: M + S - 1 ticks; each tick = one neighbor ppermute of
+    the carried state + one stage application per device."""
+    cfg = model.config
+    S = mesh.shape[axis]
+    assert cfg.num_blocks % S == 0, (cfg.num_blocks, S)
+    stage_mod = PipelineStage(config=cfg, blocks_per_stage=cfg.num_blocks // S)
+    M = num_micro
+    T = M + S - 1
+    perm = [(i, i + 1) for i in range(S - 1)]
+
+    def body(stage_vars, carry0, consts):
+        sv = jax.tree_util.tree_map(lambda x: x[0], stage_vars)
+        s = jax.lax.axis_index(axis)
+        _vary = lambda x: jax.lax.pcast(x, axis, to="varying")
+        state = jax.tree_util.tree_map(
+            lambda x: _vary(jnp.zeros_like(x[0])), carry0
+        )
+        outE = _vary(jnp.zeros_like(carry0["E_a"]))
+        outF = _vary(jnp.zeros_like(carry0["F_ca"]))
+
+        # The tick loop is UNROLLED (T = M + S - 1 is static and small), not a
+        # lax.scan: in jax 0.9.0, a custom_vjp op (the Pallas segment kernels)
+        # taking integer operands inside a twice-differentiated scan gets its
+        # residuals mis-wired (wrong dtype/shape reach the vjp rule) — see
+        # tests/test_pp.py::test_jax_scan_customvjp_int_residual_bug for the
+        # minimal repro pinning when this gets fixed upstream. The force-
+        # training double backward hits exactly that combination. Unrolling
+        # trades compile time O(T) for correctness; runtime is identical.
+        for t in range(T):
+            if perm:
+                state = jax.tree_util.tree_map(
+                    lambda x: jax.lax.ppermute(x, axis, perm), state
+                )
+            # stage 0 injects microbatch t's preamble state
+            inj = jax.tree_util.tree_map(
+                lambda x: _vary(x[min(t, M - 1)]), carry0
+            )
+            state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(s == 0, a, b), inj, state
+            )
+            mb = t - s  # microbatch resident on this stage at this tick
+            cm = jnp.clip(mb, 0, M - 1)
+            # cm is device-varying, so indexing replicated consts with it
+            # already yields pp-varying arrays — no pvary needed
+            c_t = jax.tree_util.tree_map(lambda x: x[cm], consts)
+            new_state = stage_mod.apply(sv, state, c_t)
+            valid = (mb >= 0) & (mb < M)
+            state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(valid, a, b), new_state, state
+            )
+            write = valid & (s == S - 1)
+            outE = jax.lax.dynamic_update_index_in_dim(
+                outE, jnp.where(write, state["E_a"], outE[cm]), cm, 0
+            )
+            outF = jax.lax.dynamic_update_index_in_dim(
+                outF, jnp.where(write, state["F_ca"], outF[cm]), cm, 0
+            )
+        # only the last stage holds real outputs; psum replicates them
+        last = s == S - 1
+        outE = jax.lax.psum(jnp.where(last, outE, jnp.zeros_like(outE)), axis)
+        outF = jax.lax.psum(jnp.where(last, outF, jnp.zeros_like(outF)), axis)
+        return outE, outF
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=True,
+    )
+
+
+def make_pp_apply(model, mesh: Mesh, num_micro: int, axis: str = AXIS):
+    """jitted (pre_vars, stage_vars, batches, R) -> (E, F_raw) with leading
+    (num_micro,) axes; F_raw is the model's raw second output (per-atom for
+    direct_forces, per-edge scalar heads otherwise)."""
+    cfg = model.config
+    pipeline = _make_pipeline_fn(model, mesh, num_micro, axis)
+
+    def forward(pre_vars, stage_vars, batches, R):
+        state = jax.vmap(
+            lambda b, r: model.apply(pre_vars, b, r, return_state=True)
+        )(batches, R)
+        carry0 = {f: state[f] for f in ("h", "m", "E_a", "F_ca")}
+        consts = {f: state[f] for f in ("basis", "rbf_out", "indices", "masks")}
+        E_a, F_ca = pipeline(stage_vars, carry0, consts)
+        return jax.vmap(
+            lambda b, e, f, v: finalize_outputs(cfg, b, e, f, v)
+        )(batches, E_a, F_ca, state["V_ca"])
+
+    return forward
+
+
+def _make_ef_raw(model, mesh: Mesh, num_micro: int, axis: str = AXIS):
+    cfg = model.config
+    forward = make_pp_apply(model, mesh, num_micro, axis)
+
+    def fn(pre_vars, stage_vars, batches):
+        R = batches["R"]
+        if cfg.direct_forces:
+            return forward(pre_vars, stage_vars, batches, R)
+
+        def energy_sum(R_):
+            E, _ = forward(pre_vars, stage_vars, batches, R_)
+            return jnp.sum(E), E
+
+        dE_dR, E = jax.grad(energy_sum, has_aux=True)(R)
+        return E, -dE_dR[:, :, None, :]  # (M, nAtoms, 1, 3); num_targets == 1
+
+    return fn
+
+
+def make_pp_energy_and_forces(model, mesh: Mesh, num_micro: int, axis: str = AXIS):
+    """jitted (pre_vars, stage_vars, batches) -> (E, F) per microbatch, with
+    the variant-appropriate force path (-dE/dR differentiates through the
+    whole pipeline, ppermutes included)."""
+    return jax.jit(_make_ef_raw(model, mesh, num_micro, axis))
+
+
+def make_pp_loss_and_grad(model, mesh: Mesh, loss_fn, num_micro: int,
+                          axis: str = AXIS):
+    """jitted (pre_vars, stage_vars, batches) -> (loss, (pre_grads,
+    stage_grads)). loss_fn(E, F, batches) consumes the stacked microbatch
+    outputs; gradients differentiate through the pipeline (double backward
+    for -dE/dR force training), stage grads keep the stacked (S, ...)
+    layout sharded over `pp`."""
+    ef = _make_ef_raw(model, mesh, num_micro, axis)
+
+    def loss(pre_vars, stage_vars, batches):
+        E, F = ef(pre_vars, stage_vars, batches)
+        return loss_fn(E, F, batches)
+
+    return jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))

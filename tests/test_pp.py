@@ -1,0 +1,181 @@
+"""Pipeline parallelism (parallel/pp.py): exactness vs the single-device
+model, plus the minimal repro of the jax scan/custom_vjp bug that forces the
+unrolled tick loop."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from __graft_entry__ import _make_graphs, _pad, _shared_dims, _small_cfg
+from gemnet_pytorch_tpu.models import energy_and_forces, make_model
+from gemnet_pytorch_tpu.parallel.mesh import make_mesh
+from gemnet_pytorch_tpu.parallel.pp import (
+    make_pp_energy_and_forces,
+    make_pp_loss_and_grad,
+    merge_pp_variables,
+    split_pp_variables,
+    stack_microbatches,
+)
+
+
+def _setup(cfg, n_micro, seed0=0):
+    model = make_model(cfg)
+    tups = [
+        _make_graphs(cfg, n_molecules=2, seed=seed0 + s, max_atoms=7)
+        for s in range(n_micro)
+    ]
+    dims = _shared_dims(cfg, tups)
+    shards = [_pad(cfg, t, dims) for t in tups]
+    sample = {k: jnp.asarray(v) for k, v in shards[0].items()}
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
+    batches = {k: jnp.asarray(v) for k, v in stack_microbatches(shards).items()}
+    return model, variables, shards, batches
+
+
+def _tiny_cfg(**kw):
+    import dataclasses
+
+    cfg = _small_cfg(**kw)
+    return dataclasses.replace(
+        cfg,
+        emb_size_atom=32, emb_size_edge=32, emb_size_trip=16, emb_size_quad=8,
+        emb_size_bil_trip=16, emb_size_bil_quad=8,
+    )
+
+
+@pytest.mark.parametrize(
+    "triplets_only,direct_forces,n_stages",
+    [(False, True, 2), (True, False, 2), (False, False, 2), (False, True, 1)],
+)
+def test_pp_matches_single_device(triplets_only, direct_forces, n_stages):
+    cfg = _tiny_cfg(triplets_only=triplets_only, direct_forces=direct_forces)
+    M = 3
+    model, variables, shards, batches = _setup(cfg, M)
+    mesh = make_mesh(n_stages, axis_names=("pp",))
+    pre, stage = split_pp_variables(variables, cfg.num_blocks, n_stages)
+    ef = make_pp_energy_and_forces(model, mesh, M)
+    E, F = ef(pre, stage, batches)
+    for i, b in enumerate(shards):
+        bj = {k: jnp.asarray(v) for k, v in b.items()}
+        Er, Fr, _ = energy_and_forces(model, variables, bj)
+        np.testing.assert_allclose(np.asarray(E[i]), np.asarray(Er),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(F[i]), np.asarray(Fr),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_pp_gradients_match_single_device():
+    """Parameter gradients through the pipeline — including the force-training
+    double backward (-dE/dR inside the loss) — equal the summed single-device
+    gradients over the microbatches."""
+    cfg = _tiny_cfg(triplets_only=False, direct_forces=False)
+    M, S = 4, 2
+    model, variables, shards, batches = _setup(cfg, M)
+    mesh = make_mesh(S, axis_names=("pp",))
+    pre, stage = split_pp_variables(variables, cfg.num_blocks, S)
+
+    def loss_fn(E, F, b):
+        m = b["mol_mask"].astype(jnp.float32)[:, :, None]
+        am = b["atom_mask"].astype(jnp.float32)[:, :, None]
+        return (
+            jnp.sum(jnp.abs(E - b["E"]) * m)
+            + jnp.sum(jnp.abs(F[:, :, 0, :] - b["F"]) * am)
+        )
+
+    lg = make_pp_loss_and_grad(model, mesh, loss_fn, M)
+    loss, (pre_g, stage_g) = lg(pre, stage, batches)
+
+    def single_loss(params):
+        tot = 0.0
+        for b in shards:
+            bj = {k: jnp.asarray(v) for k, v in b.items()}
+            E1, F1, _ = energy_and_forces(model, params, bj)
+            m = bj["mol_mask"].astype(jnp.float32)[:, None]
+            am = bj["atom_mask"].astype(jnp.float32)[:, None]
+            tot = (
+                tot
+                + jnp.sum(jnp.abs(E1 - bj["E"]) * m)
+                + jnp.sum(jnp.abs(F1[:, 0, :] - bj["F"]) * am)
+            )
+        return tot
+
+    ref_loss, ref_g = jax.value_and_grad(single_loss)(variables)
+    assert np.isclose(float(loss), float(ref_loss), rtol=1e-5)
+
+    merged = merge_pp_variables(pre_g, stage_g, cfg.num_blocks, S)
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref_g["params"])[0]
+    flat_pp = dict(jax.tree_util.tree_flatten_with_path(merged["params"])[0])
+    assert len(flat_pp) == len(flat_ref)
+    # fp reassociation across the pipeline's psum/ppermute: a handful of
+    # elements of the L1 double-backward land at ~1e-3 relative
+    for path, v in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_pp[path]), np.asarray(v), rtol=2e-3, atol=1e-4,
+            err_msg=str(path),
+        )
+
+
+def test_split_merge_roundtrip():
+    cfg = _tiny_cfg()
+    model, variables, _, _ = _setup(cfg, 1)
+    for S in (1, 2):
+        pre, stage = split_pp_variables(variables, cfg.num_blocks, S)
+        back = merge_pp_variables(pre, stage, cfg.num_blocks, S)
+        flat_a = jax.tree_util.tree_flatten_with_path(dict(variables))[0]
+        flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+        assert len(flat_b) == len(flat_a)
+        for path, v in flat_a:
+            np.testing.assert_array_equal(np.asarray(flat_b[path]), np.asarray(v))
+
+
+def test_jax_scan_customvjp_int_residual_bug():
+    """Minimal repro of the jax 0.9.0 bug that forces parallel/pp.py to
+    unroll its tick loop: a custom_vjp op taking an integer operand that is
+    itself computed inside a lax.scan body (or delivered as scan xs) gets its
+    residuals mis-wired under grad-of-grad — the vjp rule receives a float32
+    array (sometimes of a different shape) in the integer residual's slot.
+    When this test starts FAILING (the scan variant matches the unrolled
+    one), the upstream bug is fixed and pp's tick loop can become a scan."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+    def seg_sum(a, b, ids, n):
+        return jax.ops.segment_sum(a * b, ids, num_segments=n)
+
+    def fwd(a, b, ids, n):
+        return seg_sum(a, b, ids, n), (a, b, ids)
+
+    seen = []
+
+    def bwd(n, res, cot):
+        a, b, ids = res
+        seen.append(ids.dtype)
+        cr = cot[ids.astype(jnp.int32)]
+        return cr * b, cr * a, None
+
+    seg_sum.defvjp(fwd, bwd)
+
+    ids_all = jnp.array([[0, 0, 1, 1], [0, 1, 1, 1]], jnp.int32)
+    a0 = jnp.arange(4.0)
+    b0 = jnp.arange(4.0) + 1
+
+    def inner(a, b):
+        def step(c, t):
+            ids = ids_all[jnp.clip(t, 0, 1)]
+            return c + jnp.sum(seg_sum(a, b, ids, 2) ** 2), None
+        out, _ = jax.lax.scan(step, 0.0, jnp.arange(2))
+        return out
+
+    outer = lambda a, b: jnp.sum(jax.grad(inner)(a, b) ** 2)
+    broken = False
+    try:
+        jax.grad(outer)(a0, b0)
+    except TypeError:
+        broken = True  # mis-wired residual shapes blow up downstream
+    broken = broken or any(d != jnp.int32 for d in seen)
+    assert broken, (
+        "jax scan/custom_vjp int-residual bug appears FIXED — consider "
+        "restoring lax.scan in parallel/pp.py's tick loop"
+    )
