@@ -56,6 +56,12 @@ class PadDims:
     n_intm: int = 0
     n_quads: int = 0
     kmax4: int = 0
+    # host-chosen Pallas segment-block widths from REAL (not padded) row
+    # densities, frozen at estimation time so outlier-grown pad dims don't
+    # distort the kernel's W choice (ops/pallas/segment_outer._choose_blocks).
+    # 0 = unset (kernels fall back to the padded-dims heuristic).
+    seg_block3: int = 0
+    seg_block4: int = 0
 
     def __post_init__(self):
         assert self.n_edges % 2 == 0, "padded edge count must be even"
@@ -89,6 +95,10 @@ class PadDims:
             if g.n_quads
             else self.n_quads,
             kmax4=max(self.kmax4, round_up(g.kmax4, 4)) if g.kmax4 else self.kmax4,
+            # frozen at estimation time — growth must NOT rechoose from
+            # padded dims (that is the bug this field exists to avoid)
+            seg_block3=self.seg_block3,
+            seg_block4=self.seg_block4,
         )
 
 
@@ -176,6 +186,10 @@ def pad_batch(
     out["trip_row_splits"] = _row_splits(out["id3_reduce_ca"], P)
     # kmax is consumed as a static shape at trace time (shape-carrier array)
     out["kmax3_static"] = np.zeros(dims.kmax3, np.bool_)
+    if dims.seg_block3 and P % dims.seg_block3 == 0:
+        # shape-carrier: the LENGTH is the host-chosen Pallas W for the
+        # triplet space (models/gemnet.py reads batch["trip_seg_block"])
+        out["trip_seg_block"] = np.zeros(dims.seg_block3, np.bool_)
 
     if E is not None:
         out["E"] = _pad1(E.reshape(n_mol, -1).astype(np.float32), dims.n_mol)
@@ -211,6 +225,8 @@ def pad_batch(
     out["quad_mask"] = (np.arange(dims.n_quads) < g.n_quads).astype(np.bool_)
     out["quad_row_splits"] = _row_splits(out["id4_reduce_ca"], P)
     out["kmax4_static"] = np.zeros(dims.kmax4, np.bool_)
+    if dims.seg_block4 and P % dims.seg_block4 == 0:
+        out["quad_seg_block"] = np.zeros(dims.seg_block4, np.bool_)
     return _shrink_ids(out, dims)
 
 
@@ -239,6 +255,18 @@ def estimate_pad_dims(
             n_atoms=max(dims.n_atoms, round_up(int(na * headroom), 16)),
         )
         dims = scaled.grow_to(_scale_graph_dims(g, headroom), n_mol, int(na * headroom))
+    # Pallas segment-block widths from MEDIAN REAL densities of the sample —
+    # frozen here so later outlier growth of the padded dims never distorts
+    # the kernels' FLOP/DMA tradeoff (ops/pallas/segment_outer._choose_blocks)
+    from ..ops.pallas.segment_outer import _choose_blocks
+
+    med = lambda xs: int(np.median(xs)) if xs else 0
+    trip_rows = med([g.n_triplets for g in graphs])
+    edges = med([g.n_edges for g in graphs])
+    dims = replace(dims, seg_block3=_choose_blocks(trip_rows, edges)[0])
+    if not triplets_only:
+        quad_rows = med([g.n_quads for g in graphs])
+        dims = replace(dims, seg_block4=_choose_blocks(quad_rows, edges)[0])
     return dims
 
 

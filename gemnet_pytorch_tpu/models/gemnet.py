@@ -214,6 +214,10 @@ class GemNet(nn.Module):
             "id3_reduce_ca": batch["id3_reduce_ca"],
             "trip_row_splits": batch["trip_row_splits"],
         }
+        if "trip_seg_block" in batch:
+            # shape-carrier: host-chosen Pallas segment-block width from real
+            # row density (data/padding.py); the LENGTH is the payload
+            indices["trip_seg_block"] = batch["trip_seg_block"]
         if not cfg.triplets_only:
             indices.update(
                 id4_reduce_ca=batch["id4_reduce_ca"],
@@ -221,6 +225,8 @@ class GemNet(nn.Module):
                 id4_expand_abd=batch["id4_expand_abd"],
                 quad_row_splits=batch["quad_row_splits"],
             )
+            if "quad_seg_block" in batch:
+                indices["quad_seg_block"] = batch["quad_seg_block"]
         if cfg.ep_halo:
             indices.update(
                 edge_halo_send_idx=batch["edge_halo_send_idx"],

@@ -38,6 +38,7 @@ class QuadrupletInteraction(nn.Module):
     implementation: str = "auto"
     ep_axis: Optional[str] = None
     dtype: Optional[Any] = None
+    seg_block: Optional[int] = None
 
     @nn.compact
     def __call__(self, m, rbf, cbf, sbf, quad_row_splits, id_swap, id4_reduce_ca,
@@ -83,7 +84,8 @@ class QuadrupletInteraction(nn.Module):
         rbf_W1, sph_rows = sbf
         x = EfficientInteractionBilinear(
             self.emb_size_quad, rbf_W1.shape[1], self.emb_size_bilinear,
-            implementation=self.implementation, dtype=self.dtype, name="mlp_sbf",
+            implementation=self.implementation, dtype=self.dtype,
+            seg_block=self.seg_block, name="mlp_sbf",
         )(rbf_W1, sph_rows, x_db, id4_reduce_ca, quad_row_splits,
           mask=masks["quad"])
         if self.ep_axis:
@@ -113,6 +115,7 @@ class TripletInteraction(nn.Module):
     implementation: str = "auto"
     ep_axis: Optional[str] = None
     dtype: Optional[Any] = None
+    seg_block: Optional[int] = None
 
     @nn.compact
     def __call__(self, m, rbf3, cbf3, trip_row_splits, id_swap, id3_expand_ba,
@@ -144,7 +147,8 @@ class TripletInteraction(nn.Module):
         rbf_W1, sph_rows = cbf3
         x = EfficientInteractionBilinear(
             self.emb_size_trip, rbf_W1.shape[1], self.emb_size_bilinear,
-            implementation=self.implementation, dtype=self.dtype, name="mlp_cbf",
+            implementation=self.implementation, dtype=self.dtype,
+            seg_block=self.seg_block, name="mlp_cbf",
         )(rbf_W1, sph_rows, x_ba, id3_reduce_ca, trip_row_splits,
           mask=masks["trip"])
         if self.ep_axis:
@@ -206,6 +210,12 @@ class InteractionBlock(nn.Module):
                 halo["intm_send"] = (indices["intm_halo_send_idx"],
                                      indices["intm_halo_send_mask"])
 
+        # seg_block carriers: host-chosen Pallas W from REAL row density
+        # (shape is the payload; shape[-1] survives vmap'd leading axes)
+        def _sb(key):
+            arr = indices.get(key)
+            return int(arr.shape[-1]) if arr is not None else None
+
         trip = TripletInteraction(
             emb_size_edge=self.emb_size_edge,
             emb_size_trip=self.emb_size_trip,
@@ -215,6 +225,7 @@ class InteractionBlock(nn.Module):
             implementation=self.implementation,
             ep_axis=sub_ep_axis,
             dtype=self.dtype,
+            seg_block=_sb("trip_seg_block"),
             name="trip_interaction",
         )
         t_args = (
@@ -233,6 +244,7 @@ class InteractionBlock(nn.Module):
                 implementation=self.implementation,
                 ep_axis=sub_ep_axis,
                 dtype=self.dtype,
+                seg_block=_sb("quad_seg_block"),
                 name="quad_interaction",
             )
             q_args = (

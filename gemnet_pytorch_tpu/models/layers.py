@@ -193,6 +193,9 @@ class EfficientInteractionBilinear(nn.Module):
     units_out: int
     implementation: str = "auto"
     dtype: Optional[Any] = None
+    # host-chosen Pallas segment-block width from REAL row density
+    # (data/padding.py shape carrier); None -> padded-dims heuristic
+    seg_block: Optional[int] = None
 
     @nn.compact
     def __call__(self, rbf_W1, sph_rows, m, id_reduce, row_splits, mask=None):
@@ -205,7 +208,7 @@ class EfficientInteractionBilinear(nn.Module):
             w = w.astype(self.dtype)
         return bil_ops.bilinear(
             rbf_W1, sph_rows, m, id_reduce, row_splits, w, mask=mask,
-            implementation=self.implementation,
+            implementation=self.implementation, seg_block=self.seg_block,
         )
 
 

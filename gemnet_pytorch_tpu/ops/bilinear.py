@@ -40,6 +40,7 @@ def bilinear(
     weight: jnp.ndarray,
     mask: jnp.ndarray | None = None,
     implementation: str = "auto",
+    seg_block: int | None = None,
 ) -> jnp.ndarray:
     """Bilinear contraction + neighbor summation (reference efficient.py:159-189).
 
@@ -59,7 +60,7 @@ def bilinear(
     if mask is not None:
         m = m * mask.astype(m.dtype)[:, None]
     sum_k = segment_outer_sum(
-        sph_rows, m, id_reduce, row_splits, n_edges, implementation
+        sph_rows, m, id_reduce, row_splits, n_edges, implementation, seg_block
     )  # (S, E, M) — always fp32 accumulated
     # finish in the compute dtype (bf16 mode keeps these on the fast MXU path)
     sum_k = sum_k.astype(rbf_W1.dtype)
@@ -78,6 +79,7 @@ def hadamard(
     weight: jnp.ndarray,
     mask: jnp.ndarray | None = None,
     implementation: str = "auto",
+    seg_block: int | None = None,
 ) -> jnp.ndarray:
     """Efficient hadamard + summation — reformulation of the reference's
     EfficientInteractionHadamard (efficient.py:60-117; defined there but
@@ -90,7 +92,7 @@ def hadamard(
     if mask is not None:
         m = m * mask.astype(m.dtype)[:, None]
     sum_k = segment_outer_sum(
-        sph_rows, m, id_reduce, row_splits, n_edges, implementation
+        sph_rows, m, id_reduce, row_splits, n_edges, implementation, seg_block
     )  # (S, E, M) — always fp32 accumulated
     sum_k = sum_k.astype(rbf_W1.dtype)
     inner = jnp.einsum("eis,sem->eim", rbf_W1, sum_k)

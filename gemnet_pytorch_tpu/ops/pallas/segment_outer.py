@@ -87,11 +87,22 @@ LANE = 128
 Implementation = Literal["auto", "pallas", "xla"]
 
 
-def _choose_blocks(n_rows: int, n_segments: int) -> tuple[int, int]:
+def _choose_blocks(
+    n_rows: int, n_segments: int, seg_block: int | None = None
+) -> tuple[int, int]:
     """(W, ROW_BLOCK): smallest segment-block width whose expected rows per
     block (W · mean rows/segment) covers >= half a DMA chunk. W is the MXU
     FLOP amplification factor, so smaller is better wherever the DMA stream
-    stays dense."""
+    stays dense.
+
+    `seg_block` overrides the heuristic with a host-chosen W computed from
+    REAL row densities (data/padding.py chooses it at PadDims-estimation
+    time and carries it per batch): the padded n_rows/n_segments here
+    over-state density after an outlier batch grows the pad dims, silently
+    amplifying MXU work."""
+    if seg_block:
+        assert seg_block in SEG_BLOCK_CHOICES, seg_block
+        return seg_block, ROW_BLOCK
     rows_per_seg = max(n_rows // max(n_segments, 1), 1)
     for w in SEG_BLOCK_CHOICES:
         if w * rows_per_seg >= ROW_BLOCK // 2:
@@ -99,11 +110,13 @@ def _choose_blocks(n_rows: int, n_segments: int) -> tuple[int, int]:
     return SEG_BLOCK_CHOICES[-1], ROW_BLOCK
 
 
-def _bwd_seg_block(n_rows: int, n_segments: int, M: int) -> int | None:
+def _bwd_seg_block(
+    n_rows: int, n_segments: int, M: int, seg_block: int | None = None
+) -> int | None:
     """Backward W: heuristic W rounded up so W·M is lane-aligned (the
     cotangent DMA slices the lane dim of the (S, nSeg·M) view). None if no
     admissible W divides n_segments (caller falls back to XLA)."""
-    w, _ = _choose_blocks(n_rows, n_segments)
+    w, _ = _choose_blocks(n_rows, n_segments, seg_block)
     w = max(w, LANE // math.gcd(M, LANE))
     while w <= n_segments and (w * M) % LANE:
         w *= 2
@@ -245,7 +258,8 @@ def _fwd_kernel(splits_ref, ids_ref, a_ref, b_ref, out_ref,
     out_ref[...] = acc[...]
 
 
-def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, interpret=False):
+def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, seg_block=None,
+                      interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -253,7 +267,7 @@ def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, interpret=False):
     M = b.shape[1]
     sdt = _stream_dtype(a, b)
     sub = 16 if sdt == jnp.bfloat16 else 8  # sublane tile for the stream dtype
-    W, RB = _choose_blocks(n, n_segments)
+    W, RB = _choose_blocks(n, n_segments, seg_block)
     assert n_segments % W == 0, (n_segments, W)
     Sp = _round_up(S, sub)
     Mp = _round_up(M, sub)
@@ -344,7 +358,8 @@ def _bwd_kernel(blo_ref, bhi_ref, ids_ref, a_ref, b_ref, cot_ref,
     db_ref[...] = db_acc[...].astype(db_ref.dtype)
 
 
-def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, interpret=False):
+def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, seg_block=None,
+                            interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -353,7 +368,7 @@ def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, interpret=False):
     n_segments = cot.shape[1]
     sdt = _stream_dtype(a, b)
     sub = 16 if sdt == jnp.bfloat16 else 8
-    W = _bwd_seg_block(n, n_segments, M)
+    W = _bwd_seg_block(n, n_segments, M, seg_block)
     if W is None:  # no lane-aligned W divides n_segments (exotic shapes)
         return _gather_contract_xla(cot, a, b, seg_ids)
     RB = ROW_BLOCK
@@ -427,51 +442,66 @@ def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, interpret=False):
 # ======================================================================
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def segment_outer_sum(a, b, seg_ids, row_splits, n_segments,
-                      implementation: Implementation = "auto"):
-    """out[s, e, m] = Σ_{t: seg_ids[t]==e} a[t,s]·b[t,m]; seg_ids sorted."""
+                      implementation: Implementation = "auto",
+                      seg_block: int | None = None):
+    """out[s, e, m] = Σ_{t: seg_ids[t]==e} a[t,s]·b[t,m]; seg_ids sorted.
+
+    `seg_block` (static) overrides the padded-density W heuristic with a
+    host-chosen width (see _choose_blocks)."""
     if _use_pallas(implementation):
-        return _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments)
+        return _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, seg_block)
     return _outer_sum_xla(a, b, seg_ids, n_segments)
 
 
-def _sos_fwd(a, b, seg_ids, row_splits, n_segments, implementation):
-    out = segment_outer_sum(a, b, seg_ids, row_splits, n_segments, implementation)
+def _sos_fwd(a, b, seg_ids, row_splits, n_segments, implementation, seg_block):
+    out = segment_outer_sum(
+        a, b, seg_ids, row_splits, n_segments, implementation, seg_block
+    )
     return out, (a, b, seg_ids, row_splits)
 
 
-def _sos_bwd(n_segments, implementation, res, cot):
+def _sos_bwd(n_segments, implementation, seg_block, res, cot):
     a, b, seg_ids, row_splits = res
-    da, db = segment_gather_contract(cot, a, b, seg_ids, row_splits, implementation)
+    da, db = segment_gather_contract(
+        cot, a, b, seg_ids, row_splits, implementation, seg_block
+    )
     return da, db, None, None
 
 
 segment_outer_sum.defvjp(_sos_fwd, _sos_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def segment_gather_contract(cot, a, b, seg_ids, row_splits,
-                            implementation: Implementation = "auto"):
+                            implementation: Implementation = "auto",
+                            seg_block: int | None = None):
     """(da, db): da[t,s]=Σ_m cot[s,seg,m]·b[t,m]; db[t,m]=Σ_s cot[s,seg,m]·a[t,s]."""
     if _use_pallas(implementation):
-        return _gather_contract_pallas(cot, a, b, seg_ids, row_splits)
+        return _gather_contract_pallas(cot, a, b, seg_ids, row_splits, seg_block)
     return _gather_contract_xla(cot, a, b, seg_ids)
 
 
-def _sgc_fwd(cot, a, b, seg_ids, row_splits, implementation):
-    out = segment_gather_contract(cot, a, b, seg_ids, row_splits, implementation)
+def _sgc_fwd(cot, a, b, seg_ids, row_splits, implementation, seg_block):
+    out = segment_gather_contract(
+        cot, a, b, seg_ids, row_splits, implementation, seg_block
+    )
     return out, (cot, a, b, seg_ids, row_splits)
 
 
-def _sgc_bwd(implementation, res, cots):
+def _sgc_bwd(implementation, seg_block, res, cots):
     cot, a, b, seg_ids, row_splits = res
     ua, ub = cots
     n_segments = cot.shape[1]
     dcot = segment_outer_sum(
-        ua, b, seg_ids, row_splits, n_segments, implementation
-    ) + segment_outer_sum(a, ub, seg_ids, row_splits, n_segments, implementation)
-    da, db = segment_gather_contract(cot, ua, ub, seg_ids, row_splits, implementation)
+        ua, b, seg_ids, row_splits, n_segments, implementation, seg_block
+    ) + segment_outer_sum(
+        a, ub, seg_ids, row_splits, n_segments, implementation, seg_block
+    )
+    da, db = segment_gather_contract(
+        cot, ua, ub, seg_ids, row_splits, implementation, seg_block
+    )
     return dcot, da, db, None, None
 
 

@@ -205,6 +205,12 @@ def _make_pipeline_fn(model, mesh: Mesh, num_micro: int, axis: str = AXIS):
     cfg = model.config
     S = mesh.shape[axis]
     assert cfg.num_blocks % S == 0, (cfg.num_blocks, S)
+    # halo-mode geometry (ep_halo) needs per-block exchanges/psums the stage
+    # module does not perform — fail loudly on the unsupported combination
+    assert not getattr(cfg, "ep_halo", False), (
+        "pipeline parallelism does not compose with ep_halo configs; "
+        "use --halo or --dp-halo instead"
+    )
     stage_mod = PipelineStage(config=cfg, blocks_per_stage=cfg.num_blocks // S)
     M = num_micro
     T = M + S - 1
@@ -301,6 +307,11 @@ def _make_ef_raw(model, mesh: Mesh, num_micro: int, axis: str = AXIS):
         R = batches["R"]
         if cfg.direct_forces:
             return forward(pre_vars, stage_vars, batches, R)
+        # -d(sum E)/dR below folds all targets into one gradient; the
+        # single-device path loops per target (models/gemnet.py)
+        assert cfg.num_targets == 1, (
+            "pp -dE/dR force path supports num_targets == 1 only"
+        )
 
         def energy_sum(R_):
             E, _ = forward(pre_vars, stage_vars, batches, R_)

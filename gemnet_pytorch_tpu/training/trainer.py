@@ -410,13 +410,9 @@ class Trainer:
         return self.params_tree(state.ema_params)
 
     # -- prediction/loss --
-    def _predict(self, params, scales, batch, model=None):
-        if not isinstance(params, dict) and not hasattr(params, "keys"):
-            params = self.params_tree(params)
-        variables = {"params": params}
-        if scales:
-            variables["scale_factors"] = scales
-        E, F, _ = energy_and_forces(model or self.model, variables, batch)
+    def _split_outputs(self, E, F):
+        """Raw model outputs -> (mean_E, var_E, mean_F, var_F); vars None
+        unless MVE (reference trainer.py:301-306 softplus split)."""
         if self.mve:
             mean_E = E[:, :1]
             var_E = jax.nn.softplus(E[:, 1:])
@@ -425,8 +421,28 @@ class Trainer:
             return mean_E, var_E, mean_F, var_F
         return E, None, F[:, 0, :], None
 
+    def _predict(self, params, scales, batch, model=None):
+        if not isinstance(params, dict) and not hasattr(params, "keys"):
+            params = self.params_tree(params)
+        variables = {"params": params}
+        if scales:
+            variables["scale_factors"] = scales
+        E, F, _ = energy_and_forces(model or self.model, variables, batch)
+        return self._split_outputs(E, F)
+
     def _loss_and_metrics(self, params, scales, batch, axis_name=None, model=None):
         mean_E, var_E, mean_F, var_F = self._predict(params, scales, batch, model)
+        return self.loss_metrics_from_outputs(
+            mean_E, var_E, mean_F, var_F, batch, axis_name
+        )
+
+    def loss_metrics_from_outputs(
+        self, mean_E, var_E, mean_F, var_F, batch, axis_name=None
+    ):
+        """(loss, (metrics, counts)) from split model outputs + a batch dict
+        carrying E/F targets and mol/atom masks. Row dims may be any flattening
+        (e.g. pp's microbatch-stacked outputs reshaped to (M*n, ...)) — the
+        loss is a masked num/den mean, invariant to the grouping."""
         tE, tF = batch["E"], batch["F"]
         mol_mask, atom_mask = batch["mol_mask"], batch["atom_mask"]
         e_mae_loc, energy_mae = _ratios(_mae_parts(mean_E, tE, mol_mask), axis_name)

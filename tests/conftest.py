@@ -64,3 +64,62 @@ def add_reference_shims():
             _orig_init(self, optimizer, lr_lambda, last_epoch=last_epoch)
 
         torch.optim.lr_scheduler.LambdaLR.__init__ = _init
+
+    _cache_reference_sympy()
+
+
+def _cache_reference_sympy():
+    """Memoize the reference's sympy basis generation (memory + disk).
+
+    `bessel_basis(7, 6)` alone costs ~13 s and every reference
+    SphericalBasisLayer/TensorBasisLayer construction re-runs it
+    (basis_layers.py:89-90,203-204); the parity tests build reference models
+    dozens of times, dominating the suite's wall time. The formulas are pure
+    functions of their int args, so a session cache is exact; the disk pickle
+    additionally survives across pytest runs (best-effort: a stale/corrupt
+    pickle just falls through to recomputation)."""
+    import functools
+    import pickle
+    from pathlib import Path
+
+    from gemnet.model.layers import basis_layers, basis_utils
+
+    if getattr(basis_utils, "_sympy_cache_installed", False):
+        return
+    cache_dir = Path(__file__).resolve().parent / ".sympy_cache"
+
+    def cached(fn):
+        mem = {}
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            key = "_".join(
+                [fn.__name__, *map(str, args)]
+                + [f"{k}={v}" for k, v in sorted(kwargs.items())]
+            )
+            if key in mem:
+                return mem[key]
+            path = cache_dir / f"{key}.pkl"
+            if path.exists():
+                try:
+                    mem[key] = pickle.loads(path.read_bytes())
+                    return mem[key]
+                except Exception:
+                    pass
+            val = fn(*args, **kwargs)
+            mem[key] = val
+            try:
+                cache_dir.mkdir(exist_ok=True)
+                path.write_bytes(pickle.dumps(val))
+            except Exception:
+                pass
+            return val
+
+        return wrapper
+
+    bb = cached(basis_utils.bessel_basis)
+    sph = cached(basis_utils.real_sph_harm)
+    # patch BOTH namespaces: basis_layers binds the names at import time
+    basis_utils.bessel_basis = basis_layers.bessel_basis = bb
+    basis_utils.real_sph_harm = basis_layers.real_sph_harm = sph
+    basis_utils._sympy_cache_installed = True

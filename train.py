@@ -56,7 +56,10 @@ def parse_args():
     p.add_argument("--ep", type=int, default=0,
                    help="edge-partitioned (rung 2a) over N local devices: "
                    "triplet/quad row spaces sharded, host partitioning runs "
-                   "in the data prefetch threads (parallel/ep.py)")
+                   "in the data prefetch threads (parallel/ep.py). "
+                   "DEPRECATED: rung 2a replicates edge embeddings and pays "
+                   "~8.3x the AD communication of --halo (213 vs 25.6 "
+                   "MB/shard, artifacts_r02_comm.md) — prefer --halo N")
     p.add_argument("--halo", type=int, default=0,
                    help="fully edge-partitioned (rung 2b) over N local "
                    "devices: edge/intm/row spaces sharded with halo "
@@ -207,6 +210,10 @@ def main():
         "pick one of --dp / --ep / --halo / --dp-halo")
     # batches packed into single buffers inside the prefetch threads
     if args.ep:
+        logging.warning(
+            "--ep (rung 2a) is deprecated: it replicates edge embeddings and "
+            "pays ~8.3x the AD communication of --halo (213 vs 25.6 MB/shard "
+            "at S=8, artifacts_r02_comm.md); use --halo %d instead", args.ep)
         # row partitioning runs in the prefetch threads too (transform), off
         # the step critical path; fixed chunk sizes keep compiles stable
         from gemnet_pytorch_tpu.data.padding import ROW_BLOCK, round_up
