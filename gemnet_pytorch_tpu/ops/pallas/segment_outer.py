@@ -86,6 +86,17 @@ LANE = 128
 
 Implementation = Literal["auto", "pallas", "xla"]
 
+# Trace-time call log for the analytic roofline (perf/roofline.py): when a
+# list, every Pallas kernel construction appends its static shape/W record —
+# jit traces each call site once, so tracing a step with this enabled yields
+# the exact kernel-call census of the compiled program.
+TRACE_LOG: list | None = None
+
+
+def _log_call(kind: str, **kw):
+    if TRACE_LOG is not None:
+        TRACE_LOG.append(dict(kind=kind, **kw))
+
 
 def _choose_blocks(
     n_rows: int, n_segments: int, seg_block: int | None = None
@@ -269,6 +280,8 @@ def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, seg_block=None,
     sub = 16 if sdt == jnp.bfloat16 else 8  # sublane tile for the stream dtype
     W, RB = _choose_blocks(n, n_segments, seg_block)
     assert n_segments % W == 0, (n_segments, W)
+    _log_call("fwd", n=n, S=S, M=M, n_segments=n_segments, W=W, RB=RB,
+              dtype=str(sdt))
     Sp = _round_up(S, sub)
     Mp = _round_up(M, sub)
     # feature-major streams with a tail guard chunk (reads may overhang)
@@ -372,6 +385,8 @@ def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, seg_block=None,
     if W is None:  # no lane-aligned W divides n_segments (exotic shapes)
         return _gather_contract_xla(cot, a, b, seg_ids)
     RB = ROW_BLOCK
+    _log_call("bwd", n=n, S=S, M=M, n_segments=n_segments, W=W, RB=RB,
+              dtype=str(sdt))
     Sp = _round_up(S, sub)
     Mp = _round_up(M, sub)
     n_pad = _round_up(n, RB)

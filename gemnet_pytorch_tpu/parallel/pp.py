@@ -43,7 +43,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig
 from ..models.gemnet import finalize_outputs
@@ -344,3 +344,207 @@ def make_pp_loss_and_grad(model, mesh: Mesh, loss_fn, num_micro: int,
         return loss_fn(E, F, batches)
 
     return jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+
+
+# ======================================================================
+# trainable mode: GPipe train step with stage-sharded flat optimizer state
+# ======================================================================
+
+
+def _flatten_micro(x):
+    """(M, rows, ...) -> (M*rows, ...): the masked num/den losses are
+    invariant to this grouping, so the flattened microbatch stack is exactly
+    the loss of the concatenated batch."""
+    return x.reshape((-1,) + x.shape[2:])
+
+
+class PPTrainer:
+    """Training driver for the pipelined model (no reference counterpart —
+    the reference is single-GPU; SURVEY.md §2 callout).
+
+    State layout (training/flat_opt.py rationale): the preamble/tail
+    parameters ravel into ONE replicated flat vector; the S stages' parameters
+    ravel into ONE (S, P_stage) matrix sharded over `pp` — parameters, Adam
+    moments, and EMA shadows for the block stack are all 1/S per chip. The
+    global-norm clip spans both parts (exactly the single-device trainer's
+    norm over the full gradient), computed once and fed to both updates via
+    flat_opt.apply_update(clip_scale=...).
+
+    Numerics: loss = trainer.loss_metrics_from_outputs over the microbatch
+    stack flattened to one row space — identical to a single-device step on
+    the concatenated M-microbatch batch (tests/test_pp.py), so a pp run is a
+    plain large-batch run of the same training program.
+    """
+
+    def __init__(self, trainer, mesh: Mesh, num_micro: int, axis: str = AXIS):
+        self.trainer = trainer
+        self.mesh = mesh
+        self.M = num_micro
+        self.axis = axis
+        self.S = mesh.shape[axis]
+        self.cfg = trainer.model.config
+        assert self.cfg.num_blocks % self.S == 0, (self.cfg.num_blocks, self.S)
+        self._ef = _make_ef_raw(trainer.model, mesh, num_micro, axis)
+        self.pre_unravel = None
+        self.stage_unravel = None
+        self._train_step = None
+
+    # -- state --
+    def init_state(self, variables):
+        import numpy as np
+
+        from ..training import flat_opt
+        from ..training.trainer import MOL_METRICS, TrainState
+
+        trainer, cfg = self.trainer, self.cfg
+        pre_vars, stage_vars = split_pp_variables(
+            dict(variables), cfg.num_blocks, self.S
+        )
+        pre_flat, self.pre_unravel = flat_opt.ravel_params(pre_vars["params"])
+        stage_tree = stage_vars["params"]
+        stage0 = jax.tree_util.tree_map(lambda x: x[0], stage_tree)
+        _, self.stage_unravel = flat_opt.ravel_params(stage0)
+        stage_flat = jax.vmap(lambda t: flat_opt.ravel_params(t)[0])(stage_tree)
+
+        wd = trainer.cfg.weight_decay
+        wd_pre, sc_pre = flat_opt.build_masks(pre_vars["params"], cfg, wd)
+        # shared basis MLPs live in the preamble, so stage shared_scale == 1
+        wd_st, sc_st = flat_opt.build_masks(stage0, cfg, wd)
+
+        shard = NamedSharding(self.mesh, P(self.axis))
+        stage_flat = jax.device_put(stage_flat, shard)
+        stage_scales = jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), shard),
+            stage_vars.get("scale_factors", {}),
+        )
+        trainer._mol_metric = np.array(
+            [k in MOL_METRICS for k in trainer.tracked_metrics]
+        )
+        zeros_st = jnp.zeros_like(stage_flat)
+        stage_opt = flat_opt.FlatOptState(
+            count=jnp.zeros((), jnp.int32),
+            mu=zeros_st, nu=zeros_st, nu_max=zeros_st,
+            wd_mask=jnp.asarray(wd_st), shared_scale=jnp.asarray(sc_st),
+        )
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params={"pre": pre_flat, "stage": stage_flat},
+            scales={"pre": pre_vars.get("scale_factors", {}),
+                    "stage": stage_scales},
+            opt_state={"pre": flat_opt.init(pre_flat, wd_pre, sc_pre),
+                       "stage": stage_opt},
+            ema_params={"pre": jnp.copy(pre_flat),
+                        "stage": jnp.copy(stage_flat)},
+            metric_acc=jnp.zeros((len(trainer.tracked_metrics), 2), jnp.float32),
+        )
+
+    def _variables(self, params, scales):
+        pre_vars = {"params": self.pre_unravel(params["pre"])}
+        stage_vars = {"params": jax.vmap(self.stage_unravel)(params["stage"])}
+        if scales["pre"]:
+            pre_vars["scale_factors"] = scales["pre"]
+        if scales["stage"]:
+            stage_vars["scale_factors"] = scales["stage"]
+        return pre_vars, stage_vars
+
+    def merged_variables(self, state, ema: bool = False):
+        """Host-side: monolithic {params, scale_factors} for eval/predict/
+        checkpoint-export (inverse of split_pp_variables)."""
+        params = state.ema_params if ema else state.params
+        pre_vars, stage_vars = self._variables(params, state.scales)
+        merged = merge_pp_variables(
+            {"params": pre_vars["params"]}, {"params": stage_vars["params"]},
+            self.cfg.num_blocks, self.S,
+        )
+        out = {"params": merged["params"]}
+        if state.scales["pre"]:
+            sc = merge_pp_variables(
+                {"scale_factors": state.scales["pre"]},
+                {"scale_factors": state.scales["stage"]},
+                self.cfg.num_blocks, self.S,
+            )
+            out["scale_factors"] = sc["scale_factors"]
+        return out
+
+    # -- steps --
+    def train_step_fn(self):
+        if self._train_step is not None:
+            return self._train_step
+        trainer, tcfg = self.trainer, self.trainer.cfg
+        from ..training import flat_opt
+
+        @jax.jit
+        def step(state, batches, lr_scale):
+            def loss_fn(pre_flat, stage_flat):
+                pre_vars, stage_vars = self._variables(
+                    {"pre": pre_flat, "stage": stage_flat}, state.scales
+                )
+                E, F = self._ef(pre_vars, stage_vars, batches)
+                fb = {
+                    "E": _flatten_micro(batches["E"]),
+                    "F": _flatten_micro(batches["F"]),
+                    "mol_mask": _flatten_micro(batches["mol_mask"]),
+                    "atom_mask": _flatten_micro(batches["atom_mask"]),
+                }
+                mean_E, var_E, mean_F, var_F = trainer._split_outputs(
+                    _flatten_micro(E), _flatten_micro(F)
+                )
+                return trainer.loss_metrics_from_outputs(
+                    mean_E, var_E, mean_F, var_F, fb
+                )
+
+            (loss, (metrics, counts)), (g_pre, g_st) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params["pre"], state.params["stage"])
+
+            # global-norm clip across BOTH parts (after shared-grad scaling,
+            # matching the single-device optax chain order)
+            pre_opt, st_opt = state.opt_state["pre"], state.opt_state["stage"]
+            g_pre_s = g_pre * pre_opt.shared_scale
+            g_st_s = g_st * st_opt.shared_scale
+            gnorm = jnp.sqrt(jnp.sum(g_pre_s * g_pre_s) + jnp.sum(g_st_s * g_st_s))
+            clip = jnp.where(
+                gnorm < tcfg.grad_clip_max, 1.0, tcfg.grad_clip_max / gnorm
+            )
+            kw = dict(
+                lr_scale=lr_scale,
+                schedule=trainer._sched_base,
+                learning_rate=tcfg.learning_rate,
+                grad_clip_max=tcfg.grad_clip_max,
+                ema_decay=tcfg.ema_decay,
+                clip_scale=clip,
+            )
+            p_pre, ema_pre, pre_opt = flat_opt.apply_update(
+                g_pre, pre_opt, state.params["pre"],
+                state.ema_params["pre"], **kw,
+            )
+            p_st, ema_st, st_opt = flat_opt.apply_update(
+                g_st, st_opt, state.params["stage"],
+                state.ema_params["stage"], **kw,
+            )
+            return (
+                state.replace(
+                    step=state.step + 1,
+                    params={"pre": p_pre, "stage": p_st},
+                    opt_state={"pre": pre_opt, "stage": st_opt},
+                    ema_params={"pre": ema_pre, "stage": ema_st},
+                    metric_acc=trainer.accumulate_metrics(
+                        state.metric_acc, metrics, counts
+                    ),
+                ),
+                metrics,
+                counts,
+            )
+
+        self._train_step = step
+        return step
+
+    def train_on_microbatches(self, state, batches, lr_scale):
+        """One pp train step over a list of M host batch dicts."""
+        stacked = {
+            k: jnp.asarray(v) for k, v in stack_microbatches(batches).items()
+        }
+        state, metrics, _ = self.train_step_fn()(
+            state, stacked, jnp.asarray(lr_scale, jnp.float32)
+        )
+        return state, metrics["loss"]

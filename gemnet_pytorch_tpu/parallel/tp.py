@@ -95,3 +95,59 @@ def make_tp_loss_and_grad(model, mesh: Mesh, loss_fn, axis: str = AXIS):
         return loss_fn(E, F, batch)
 
     return jax.jit(jax.value_and_grad(loss))
+
+
+# ======================================================================
+# trainable mode
+# ======================================================================
+
+
+def init_tp_state(trainer, variables, mesh: Mesh, axis: str = AXIS):
+    """TrainState with params/Adam-moments/EMA tp-sharded (1/N per chip).
+
+    Requires the TREE-path optimizer (TrainConfig.flat_optimizer=False):
+    raveling into one flat vector would interleave every leaf and destroy
+    the per-tensor shardings. The optax init/EMA-copy are elementwise, so
+    the moment trees inherit the parameters' NamedShardings (asserted by
+    check_tp_opt_sharding and tests/test_tp.py)."""
+    assert not trainer.flat, (
+        "tp training needs the tree-path optimizer: set flat_optimizer=False "
+        "(the flat vector cannot carry per-tensor tp shardings)"
+    )
+    variables = dict(variables)
+    variables["params"] = shard_tp_variables(variables["params"], mesh, axis)
+    return trainer.init_state(variables)
+
+
+def make_tp_train_step(trainer, mesh: Mesh, axis: str = AXIS):
+    """The trainer's generic jitted train step IS the tp train step: with a
+    tp-sharded TrainState, GSPMD propagates the shardings through loss,
+    (double-)backward, optimizer, and EMA — params, grads, and both Adam
+    moments stay 1/N per chip while the batch and metrics replicate.
+    Exactness vs the single-device tree-path step: tests/test_tp.py."""
+    assert not trainer.flat, "call init_tp_state first (flat_optimizer=False)"
+    return trainer.train_step_fn()
+
+
+def check_tp_opt_sharding(opt_state, params, mesh: Mesh, axis: str = AXIS):
+    """Layout guard: every optimizer-state tensor whose shape matches a
+    tp-sharded parameter must itself be sharded (no silent replication of
+    the Adam moments, which would erase tp's memory win)."""
+    specs = tp_param_specs(params, mesh, axis)
+    sharded_shapes = {
+        tuple(p.shape)
+        for p, s in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(specs)
+        )
+        if s != P()
+    }
+    bad = []
+    for leaf in jax.tree_util.tree_leaves(opt_state):
+        if (
+            hasattr(leaf, "sharding")
+            and tuple(getattr(leaf, "shape", ())) in sharded_shapes
+        ):
+            spec = getattr(leaf.sharding, "spec", None)
+            if spec is None or all(s is None for s in spec):
+                bad.append(tuple(leaf.shape))
+    assert not bad, f"replicated optimizer moments for tp-sharded params: {bad}"

@@ -1,0 +1,288 @@
+"""Analytic FLOP/HBM cost model + speed-of-light for the train step.
+
+The reference publishes no performance numbers (BASELINE.md), so the
+framework carries its own roofline: every reported throughput must be
+explainable from shapes and device peaks, and a measured step time BELOW the
+model floor is flagged as a measurement error (bench.py).
+
+Cost composition
+----------------
+A compiled train step has two FLOP populations:
+
+1. **XLA ops** (dense layers, basis generation, geometry, optimizer,
+   staging transposes around the Pallas kernels): counted exactly by XLA's
+   own post-fusion cost analysis (`compiled.cost_analysis()['flops']` /
+   `['bytes accessed']`). Custom calls (the Pallas kernels) contribute 0
+   flops there, so there is no double counting.
+
+2. **Pallas segment kernels**: invisible to XLA, modeled analytically from
+   the shape/W census that ops/pallas/segment_outer.TRACE_LOG records at
+   trace time (jit traces every call site exactly once, so the census IS the
+   compiled program's kernel list — forward, backward, and the double
+   backward's recursive calls all appear).
+
+Per-call kernel model (ops/pallas/segment_outer.py):
+
+- forward: grid of n_segments/W steps; each step streams its row range in
+  ROW_BLOCK chunks and issues one (S*W, RB) x (RB, M) MXU contraction per
+  chunk -> 2*S*W*M*RB flops/chunk. Total chunks is bounded below by
+  ceil(n_rows/RB) (every row streamed once) and above by that plus one
+  boundary chunk per grid step (ranges are not RB-aligned). The one-hot
+  W-amplification is explicit: useful flops are 2*S*M*n but the MXU does
+  W times more.
+- backward: grid of ceil(n_rows/RB) chunks; per referenced segment block,
+  one (S, W*M) cotangent DMA + two K-major MXU contractions of
+  2*S*W*M*RB flops each. Referenced blocks per chunk total >=
+  max(grid, used_segments/W) and <= grid + used_segments/W.
+
+Precision: fp32 streams contract at Precision.HIGHEST — the MXU runs a
+multi-pass bf16 decomposition, so effective peak is the *measured*
+fp32-HIGHEST matmul throughput, not the bf16 datasheet number. bench.py
+calibrates both peaks plus HBM bandwidth on the live chip and feeds them in;
+defaults below are v5e datasheet-scale anchors for offline use.
+
+Speed-of-light: SOL_time = max(compute_time, memory_time) with
+compute_time = xla_flops/peak_default + pallas_f32_flops/peak_f32_highest
+(+ bf16 pallas flops at the bf16 peak), memory_time = total_bytes/hbm_bw.
+MFU is reported against the bf16 peak (the industry convention) and
+against the precision-aware peak mix (the honest utilization number).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from dataclasses import dataclass
+from typing import Any, Callable
+
+# v5e anchors (https://cloud.google.com/tpu/docs/v5e): 197 bf16 TFLOP/s,
+# 819 GB/s HBM. fp32-HIGHEST factor ~1/6 of bf16 (multi-pass decomposition);
+# bench.py replaces all three with on-chip measurements.
+DEFAULT_PEAKS = {
+    "mxu_bf16": 197e12,
+    "mxu_f32_highest": 197e12 / 6,
+    "hbm": 819e9,
+}
+
+
+@contextlib.contextmanager
+def _trace_log():
+    from ..ops.pallas import segment_outer as so
+
+    prev = so.TRACE_LOG
+    so.TRACE_LOG = []
+    try:
+        yield so.TRACE_LOG
+    finally:
+        so.TRACE_LOG = prev
+
+
+def kernel_census(fn: Callable, *args) -> list[dict]:
+    """Trace fn(*args) abstractly and return the Pallas kernel-call census
+    (one record per call site in the compiled program)."""
+    import jax
+
+    with _trace_log() as log:
+        jax.eval_shape(fn, *args)
+    return list(log)
+
+
+def _itemsize(dtype: str) -> int:
+    return 2 if "bfloat16" in dtype else 4
+
+
+def pallas_costs(census: list[dict], real_rows: dict[int, int] | None = None,
+                 used_segments: dict[int, int] | None = None) -> dict:
+    """Analytic flops/bytes for a kernel census.
+
+    real_rows / used_segments: optional {padded_n_rows: real_count} maps used
+    to tighten the chunk/block-visit counts (padded rows collapse into the
+    final segment block; unused segment blocks at the tail still run their
+    zero-iteration grid steps at negligible cost). Without them the padded
+    counts are used (upper bound on the floor's tightness, still a valid
+    floor).
+
+    Returns dict with flops_{lo,hi} per precision class and bytes_{lo,hi}.
+    """
+    real_rows = real_rows or {}
+    used_segments = used_segments or {}
+    out = {
+        "f32_flops_lo": 0.0, "f32_flops_hi": 0.0,
+        "bf16_flops_lo": 0.0, "bf16_flops_hi": 0.0,
+        "bytes_lo": 0.0, "bytes_hi": 0.0,
+        "useful_flops": 0.0, "n_calls": len(census),
+    }
+    for c in census:
+        n, S, M, W, RB = c["n"], c["S"], c["M"], c["W"], c["RB"]
+        nseg = c["n_segments"]
+        isz = _itemsize(c["dtype"])
+        n_eff = real_rows.get(n, n)
+        seg_eff = used_segments.get(nseg, nseg)
+        sub = 16 if isz == 2 else 8
+        Sp = -(-S // sub) * sub
+        Mp = -(-M // sub) * sub
+        grid_used = -(-seg_eff // W)
+        chunks_lo = -(-n_eff // RB)
+        if c["kind"] == "fwd":
+            chunks_hi = chunks_lo + grid_used
+            per_chunk = 2.0 * S * W * M * RB
+            flo, fhi = per_chunk * chunks_lo, per_chunk * chunks_hi
+            # streams re-read per chunk + output written once per grid step
+            rd = RB * (Sp + Mp) * isz + RB * 4
+            wr_out = (nseg // W) * S * W * M * 4
+            blo = chunks_lo * rd + wr_out
+            bhi = chunks_hi * rd + wr_out
+            out["useful_flops"] += 2.0 * S * M * n_eff
+        else:  # bwd
+            grid = -(-n // RB)
+            iters_lo = max(grid, grid_used)
+            iters_hi = grid + grid_used
+            per_iter = 2 * (2.0 * S * W * M * RB)
+            flo, fhi = per_iter * iters_lo, per_iter * iters_hi
+            cot_isz = isz  # cotangent staged in the stream dtype
+            rd_chunk = RB * (Sp + Mp) * isz + RB * 4
+            wr_chunk = RB * (Sp + Mp) * 4
+            cot_rd = Sp * W * M * cot_isz
+            blo = grid * (rd_chunk + wr_chunk) + iters_lo * cot_rd
+            bhi = grid * (rd_chunk + wr_chunk) + iters_hi * cot_rd
+            out["useful_flops"] += 3 * 2.0 * S * M * n_eff  # da+db(+G)
+        cls = "bf16" if isz == 2 else "f32"
+        out[f"{cls}_flops_lo"] += flo
+        out[f"{cls}_flops_hi"] += fhi
+        out["bytes_lo"] += blo
+        out["bytes_hi"] += bhi
+    return out
+
+
+def xla_costs(compiled) -> dict:
+    """flops / bytes accessed of a compiled program (post-fusion HLO).
+    Pallas custom calls count 0 flops there (no double counting with
+    pallas_costs); their operand/result bytes may partially double-count the
+    staging traffic — treated as part of the hi-bytes bound."""
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return {
+        "flops": float(ca.get("flops", 0.0)),
+        "bytes": float(ca.get("bytes accessed", 0.0)),
+    }
+
+
+@dataclass
+class Roofline:
+    xla_flops: float
+    xla_bytes: float
+    pallas: dict
+    peaks: dict
+
+    def sol_seconds(self, bound: str = "lo") -> float:
+        """Speed-of-light step time: max(compute, memory). 'lo' uses the
+        lower-bound op counts — a measured time below sol_seconds('lo') is
+        physically impossible and flags a measurement artifact."""
+        p = self.pallas
+        compute = (
+            self.xla_flops / self.peaks["mxu_bf16"]
+            + p[f"f32_flops_{bound}"] / self.peaks["mxu_f32_highest"]
+            + p[f"bf16_flops_{bound}"] / self.peaks["mxu_bf16"]
+        )
+        memory = (self.xla_bytes + p[f"bytes_{bound}"]) / self.peaks["hbm"]
+        return max(compute, memory)
+
+    def total_flops(self, bound: str = "hi") -> float:
+        p = self.pallas
+        return self.xla_flops + p[f"f32_flops_{bound}"] + p[f"bf16_flops_{bound}"]
+
+    def report(self, measured_seconds: float) -> dict:
+        sol_lo = self.sol_seconds("lo")
+        sol_hi = self.sol_seconds("hi")
+        flops = self.total_flops("hi")
+        return {
+            "sol_ms_lo": sol_lo * 1e3,
+            "sol_ms_hi": sol_hi * 1e3,
+            "measured_ms": measured_seconds * 1e3,
+            "sol_fraction": sol_hi / measured_seconds,
+            # industry-convention MFU: total flops over the bf16 peak
+            "mfu_bf16peak": flops / measured_seconds / self.peaks["mxu_bf16"],
+            # honest utilization: against the precision-aware SOL compute time
+            "model_flops": flops,
+            "model_bytes": self.xla_bytes + self.pallas["bytes_hi"],
+            "hbm_util": (self.xla_bytes + self.pallas["bytes_hi"])
+            / measured_seconds / self.peaks["hbm"],
+            "pallas_calls": self.pallas["n_calls"],
+            "below_floor": measured_seconds < sol_lo,
+        }
+
+
+def speed_of_light(xla: dict, pallas: dict, peaks: dict | None = None) -> Roofline:
+    return Roofline(
+        xla_flops=xla["flops"], xla_bytes=xla["bytes"],
+        pallas=pallas, peaks=dict(DEFAULT_PEAKS, **(peaks or {})),
+    )
+
+
+def roofline_report(step_fn, args, measured_seconds: float,
+                    peaks: dict | None = None,
+                    real_rows: dict[int, int] | None = None,
+                    used_segments: dict[int, int] | None = None) -> dict:
+    """One-call report: census + compile + cost analysis + SOL vs measured."""
+    import jax
+
+    census = kernel_census(step_fn, *args)
+    compiled = jax.jit(step_fn).lower(*args).compile()
+    rl = speed_of_light(
+        xla_costs(compiled),
+        pallas_costs(census, real_rows, used_segments),
+        peaks,
+    )
+    rep = rl.report(measured_seconds)
+    rep["census"] = census
+    return rep
+
+
+# ----------------------------------------------------------------- calibration
+
+
+def calibrate_peaks(seconds_per_probe: float = 1.0) -> dict:
+    """Measure the live chip's matmul peaks + HBM bandwidth.
+
+    - mxu_bf16: 4096^3 bf16 matmul, DEFAULT precision (single MXU pass)
+    - mxu_f32_highest: 4096^3 fp32 matmul, HIGHEST precision (multi-pass)
+    - hbm: elementwise x+1 over 256 MB (read+write)
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    peaks = {}
+    N = 4096
+    for name, dtype, prec in (
+        ("mxu_bf16", jnp.bfloat16, jax.lax.Precision.DEFAULT),
+        ("mxu_f32_highest", jnp.float32, jax.lax.Precision.HIGHEST),
+    ):
+        a = jnp.ones((N, N), dtype)
+        f = jax.jit(lambda x, y: jax.lax.dot(x, y, precision=prec))
+        out = f(a, a)
+        jax.block_until_ready(out)
+        iters = 8
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = f(out if dtype == jnp.bfloat16 else a, a)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        peaks[name] = 2.0 * N * N * N / best
+
+    x = jnp.ones((64 * 1024 * 1024,), jnp.float32)  # 256 MB
+    g = jax.jit(lambda v: v + 1.0)
+    out = g(x)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            out = g(out)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / 4)
+    peaks["hbm"] = 2.0 * x.nbytes / best  # read + write
+    return peaks

@@ -120,16 +120,25 @@ def apply_update(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-7,
+    clip_scale: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, FlatOptState]:
     """One optimizer step on flat vectors -> (params, ema, opt_state).
 
     Mirrors optax.chain(scale_shared_grads, clip_by_global_norm,
     multi_transform({adamw, adam})) + apply_updates + EMA exactly:
     the schedule is evaluated at the PRE-increment count, amsgrad bias
-    correction at the post-increment count (optax semantics)."""
+    correction at the post-increment count (optax semantics).
+
+    `clip_scale` overrides the internal global-norm clip with a precomputed
+    multiplier — used when the full gradient spans several flat vectors
+    (e.g. pipeline parallelism's pre/stage split) and the norm must be
+    global across all of them."""
     g = g * st.shared_scale
-    gnorm = jnp.sqrt(jnp.sum(g * g))
-    g = jnp.where(gnorm < grad_clip_max, g, g * (grad_clip_max / gnorm))
+    if clip_scale is None:
+        gnorm = jnp.sqrt(jnp.sum(g * g))
+        g = jnp.where(gnorm < grad_clip_max, g, g * (grad_clip_max / gnorm))
+    else:
+        g = g * clip_scale
 
     count_inc = st.count + 1
     mu = b1 * st.mu + (1.0 - b1) * g

@@ -118,6 +118,88 @@ def test_pp_gradients_match_single_device():
         )
 
 
+def test_pp_train_step_matches_single_device():
+    """The FULL pp train step (GPipe grads + global-norm clip spanning the
+    pre/stage split + flat AdamW/Adam + EMA) matches a single-device flat
+    optimizer step on the same flattened microbatch loss, over 3 steps."""
+    from gemnet_pytorch_tpu.config import TrainConfig
+    from gemnet_pytorch_tpu.parallel.pp import PPTrainer
+    from gemnet_pytorch_tpu.training import Trainer
+
+    cfg = _tiny_cfg(triplets_only=False, direct_forces=False)
+    M, S = 3, 2
+    model, variables, shards, batches = _setup(cfg, M)
+    mesh = make_mesh(S, axis_names=("pp",))
+    tcfg = TrainConfig(batch_size=2, weight_decay=2e-6, rho_force=0.9,
+                       loss="rmse", warmup_steps=2, grad_clip_max=1e-3)
+    trainer = Trainer(model, tcfg)
+    ref_state = trainer.init_state(dict(variables))
+    pptr = PPTrainer(trainer, mesh, M)
+    pp_state = pptr.init_state(dict(variables))
+
+    jbatches = [{k: jnp.asarray(v) for k, v in b.items()} for b in shards]
+
+    @jax.jit
+    def ref_step(state, lr_scale):
+        def loss_fn(flat):
+            params = trainer.unravel(flat)
+            vs = {"params": params}
+            if state.scales:
+                vs["scale_factors"] = state.scales
+            Es, Fs = [], []
+            for b in jbatches:
+                E1, F1, _ = energy_and_forces(model, vs, b)
+                Es.append(E1)
+                Fs.append(F1)
+            E = jnp.concatenate(Es)
+            F = jnp.concatenate(Fs)
+            fb = {
+                "E": jnp.concatenate([b["E"] for b in jbatches]),
+                "F": jnp.concatenate([b["F"] for b in jbatches]),
+                "mol_mask": jnp.concatenate([b["mol_mask"] for b in jbatches]),
+                "atom_mask": jnp.concatenate([b["atom_mask"] for b in jbatches]),
+            }
+            mE, vE, mF, vF = trainer._split_outputs(E, F)
+            return trainer.loss_metrics_from_outputs(mE, vE, mF, vF, fb)
+
+        (_, (metrics, counts)), g = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        return trainer.apply_update(state, g, metrics, counts, lr_scale), metrics
+
+    losses_pp, losses_ref = [], []
+    for _ in range(3):
+        pp_state, loss_pp = pptr.train_on_microbatches(pp_state, shards, 1.0)
+        ref_state, ref_metrics = ref_step(ref_state, jnp.asarray(1.0))
+        losses_pp.append(float(loss_pp))
+        losses_ref.append(float(ref_metrics["loss"]))
+    np.testing.assert_allclose(losses_pp, losses_ref, rtol=1e-5)
+
+    ref_tree = trainer.params_tree(ref_state.params)
+    pp_tree = pptr.merged_variables(pp_state)["params"]
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref_tree)[0]
+    flat_pp = dict(jax.tree_util.tree_flatten_with_path(pp_tree)[0])
+    assert len(flat_pp) == len(flat_ref)
+    for path, v in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_pp[path]), np.asarray(v), rtol=2e-3, atol=2e-6,
+            err_msg=str(path),
+        )
+    # EMA shadows track too
+    ema_pp = pptr.merged_variables(pp_state, ema=True)["params"]
+    ema_ref = trainer.ema_tree(ref_state)
+    for path, v in jax.tree_util.tree_flatten_with_path(ema_ref)[0]:
+        got = dict(jax.tree_util.tree_flatten_with_path(ema_pp)[0])[path]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(v), rtol=2e-3, atol=2e-6,
+            err_msg=str(path),
+        )
+    # stage state is genuinely sharded over pp (1/S per chip)
+    st = pp_state.opt_state["stage"]
+    spec = st.mu.sharding.spec
+    assert spec and spec[0] == "pp", spec
+
+
 def test_split_merge_roundtrip():
     cfg = _tiny_cfg()
     model, variables, _, _ = _setup(cfg, 1)

@@ -86,3 +86,58 @@ def test_tp_gradients_match_and_stay_sharded():
     # state stays 1/N per chip)
     gk = grads["params"]["atom_emb"]["embeddings"]
     assert not gk.sharding.is_fully_replicated
+
+
+def test_tp_train_step_matches_single_device():
+    """The FULL tp train step (tree-path optimizer under GSPMD) matches the
+    single-device tree-path step over 3 steps; params AND Adam moments stay
+    tp-sharded throughout."""
+    from gemnet_pytorch_tpu.config import TrainConfig
+    from gemnet_pytorch_tpu.parallel.tp import (
+        check_tp_opt_sharding,
+        init_tp_state,
+        make_tp_train_step,
+    )
+    from gemnet_pytorch_tpu.training import Trainer
+
+    cfg, model, variables, batch = _setup(direct_forces=False)
+    tcfg = TrainConfig(batch_size=2, weight_decay=2e-6, rho_force=0.9,
+                       warmup_steps=2, flat_optimizer=False)
+    mesh = make_mesh(2, axis_names=("tp",))
+
+    tp_trainer = Trainer(model, tcfg)
+    tp_state = init_tp_state(tp_trainer, dict(variables), mesh)
+    check_tp_opt_sharding(tp_state.opt_state, tp_state.params, mesh)
+    tp_step = make_tp_train_step(tp_trainer, mesh)
+
+    ref_trainer = Trainer(model, tcfg)
+    ref_state = ref_trainer.init_state(dict(variables))
+    ref_step = ref_trainer.train_step_fn()
+
+    lr = jnp.asarray(1.0)
+    for _ in range(3):
+        tp_state, tp_m, _ = tp_step(tp_state, batch, lr)
+        ref_state, ref_m, _ = ref_step(ref_state, batch, lr)
+        np.testing.assert_allclose(
+            float(tp_m["loss"]), float(ref_m["loss"]), rtol=1e-5
+        )
+
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref_state.params)[0]
+    flat_tp = dict(jax.tree_util.tree_flatten_with_path(tp_state.params)[0])
+    # a handful of elements drift to ~5e-4 relative over the 3-step Adam
+    # trajectory (fp reassociation of the GSPMD-partitioned reductions)
+    for path, v in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_tp[path]), np.asarray(v), rtol=1e-3, atol=5e-6,
+            err_msg=str(path),
+        )
+    flat_ema = dict(jax.tree_util.tree_flatten_with_path(tp_state.ema_params)[0])
+    for path, v in jax.tree_util.tree_flatten_with_path(ref_state.ema_params)[0]:
+        np.testing.assert_allclose(
+            np.asarray(flat_ema[path]), np.asarray(v), rtol=1e-3, atol=5e-6,
+            err_msg=str(path),
+        )
+    # moments stayed sharded after 3 updates (no silent replication)
+    check_tp_opt_sharding(tp_state.opt_state, tp_state.params, mesh)
+    k = tp_state.params["atom_emb"]["embeddings"]
+    assert not k.sharding.is_fully_replicated

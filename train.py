@@ -70,6 +70,19 @@ def parse_args():
                    help="composed 2-D mesh (production layout): DP molecule "
                    "batches, each fully edge-partitioned over EP with halo "
                    "all_to_alls (parallel/hybrid.py make_dp_halo_train_step)")
+    p.add_argument("--pp", type=int, default=0,
+                   help="pipeline parallelism over N local devices: the "
+                   "interaction-block stack staged over a pp mesh (GPipe "
+                   "schedule, parallel/pp.py PPTrainer); stage params + Adam "
+                   "moments + EMA shard 1/N per chip")
+    p.add_argument("--pp-micro", type=int, default=0,
+                   help="microbatches per pp train step (default 4*pp; the "
+                   "GPipe bubble is (S-1)/(M+S-1)); effective batch = "
+                   "pp_micro * batch_size")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor parallelism over N local devices: GSPMD "
+                   "width-sharded params with the tree-path optimizer "
+                   "(parallel/tp.py); params/moments/EMA shard 1/N per chip")
     # multi-host (jax.distributed over DCN): every process runs this same
     # driver with its own --process-id; the dp mesh spans all processes and
     # each process feeds only its local shards (parallel/dp.py assembles the
@@ -128,6 +141,9 @@ def main():
         import json as _json
 
         config.update(_json.loads(os.environ["GEMNET_SWEEP_OVERRIDES"]))
+    if args.tp:
+        # tp inherits per-tensor shardings; the flat vector cannot carry them
+        config["flat_optimizer"] = False
     for key in ("num_steps", "dataset", "val_dataset", "batch_size", "logdir",
                 "restart", "evaluation_interval", "save_interval"):
         val = getattr(args, key.replace("-", "_"), None)
@@ -204,10 +220,30 @@ def main():
     logging.info("nParams: %d", n_params)
 
     trainer = Trainer(model, tcfg)
-    state = trainer.init_state(variables)
     assert sum(bool(x) for x in
-               (args.dp, args.ep, args.halo, args.dp_halo is not None)) <= 1, (
-        "pick one of --dp / --ep / --halo / --dp-halo")
+               (args.dp, args.ep, args.halo, args.dp_halo is not None,
+                args.pp, args.tp)) <= 1, (
+        "pick one of --dp / --ep / --halo / --dp-halo / --pp / --tp")
+    pp_trainer = None
+    if args.pp:
+        from gemnet_pytorch_tpu.parallel import make_mesh
+        from gemnet_pytorch_tpu.parallel.pp import PPTrainer
+
+        pp_micro = args.pp_micro or 4 * args.pp
+        pp_mesh = make_mesh(args.pp, axis_names=("pp",))
+        pp_trainer = PPTrainer(trainer, pp_mesh, pp_micro)
+        state = pp_trainer.init_state(variables)
+        logging.info("pipeline over %d stages, %d microbatches: %s",
+                     args.pp, pp_micro, pp_mesh)
+    elif args.tp:
+        from gemnet_pytorch_tpu.parallel import make_mesh
+        from gemnet_pytorch_tpu.parallel.tp import init_tp_state
+
+        tp_mesh = make_mesh(args.tp, axis_names=("tp",))
+        state = init_tp_state(trainer, variables, tp_mesh)
+        logging.info("tensor parallel over %d devices: %s", args.tp, tp_mesh)
+    else:
+        state = trainer.init_state(variables)
     # batches packed into single buffers inside the prefetch threads
     if args.ep:
         logging.warning(
@@ -287,6 +323,9 @@ def main():
             hybrid_mesh = make_hybrid_mesh(*args.dp_halo)
             logging.info(
                 "dp%d x halo%d over %s", *args.dp_halo, hybrid_mesh)
+    elif args.pp:
+        # pp consumes M dict microbatches per step (stacked in PPTrainer)
+        train_iter = provider.get_dataset("train")
     else:
         train_iter = provider.get_dataset("train", transform=trainer.packer.pack)
     # validation stays single-device (EMA weights are replicated)
@@ -344,7 +383,7 @@ def main():
         # timing (and plateau lr_scale constancy within a chunk) exact.
         k = 1
         if args.steps_per_call > 1 and not (
-                args.dp or args.ep or args.halo or args.dp_halo):
+                args.dp or args.ep or args.halo or args.dp_halo or args.pp):
             k = min(args.steps_per_call, tcfg.num_steps - step)
             for interval in (10, tcfg.save_interval, tcfg.evaluation_interval):
                 k = min(k, interval - step % interval)
@@ -403,6 +442,10 @@ def main():
             }
             batch = shard_dp_halo_batch(stacked, hybrid_mesh)
             state, _ = dp_halo_step(state, batch, jnp.asarray(plateau.lr_scale))
+        elif args.pp:
+            state, _ = pp_trainer.train_on_microbatches(
+                state, [next(train_iter) for _ in range(pp_micro)],
+                plateau.lr_scale)
         elif k > 1:
             state, _ = trainer.train_on_batches(
                 state, [next(train_iter) for _ in range(k)], plateau.lr_scale)
@@ -431,14 +474,32 @@ def main():
             t_start, t_steps = None, step
             state = trainer.drain_metrics(state, train_metrics)
             # EMA-swapped validation (reference train_seml.py:345-356)
-            for _ in range(int(np.ceil(num_val / tcfg.batch_size))):
-                trainer.test_on_batch(state, next(val_iter), val_metrics, use_ema=True)
+            n_val_batches = int(np.ceil(num_val / tcfg.batch_size))
+            pp_merged = None
+            if args.pp:
+                # merge the pipeline's pre/stage split back to a monolithic
+                # EMA tree once per interval; eval runs the standard step
+                pp_merged = pp_trainer.merged_variables(state, ema=True)
+                eval_step = trainer.eval_step_fn()
+                for _ in range(n_val_batches):
+                    m, c = eval_step(
+                        pp_merged["params"], pp_merged.get("scale_factors", {}),
+                        jnp.asarray(next(val_iter)))
+                    trainer._update_metrics(val_metrics, m, c)
+            else:
+                for _ in range(n_val_batches):
+                    trainer.test_on_batch(
+                        state, next(val_iter), val_metrics, use_ema=True)
             if val_metrics.loss < best_metrics.loss:
                 best_metrics.update(step, val_metrics)
                 if is_main:
                     # model-only checkpoint keeps the structured layout so
                     # predict/examples restore into a params tree
-                    save_params(best_path, trainer.ema_tree(state), state.scales)
+                    if args.pp:
+                        save_params(best_path, pp_merged["params"],
+                                    pp_merged.get("scale_factors"))
+                    else:
+                        save_params(best_path, trainer.ema_tree(state), state.scales)
             best_metrics.write(writer, step)
             logging.info(
                 "%d/%d (epoch %d): %s",
@@ -463,12 +524,12 @@ def main():
         if args.export_torch:
             from gemnet_pytorch_tpu.compat import save_reference_checkpoint
 
-            save_reference_checkpoint(
-                args.export_torch,
-                {"params": trainer.ema_tree(state),
-                 "scale_factors": state.scales},
-                mcfg,
-            )
+            if args.pp:
+                ex = pp_trainer.merged_variables(state, ema=True)
+            else:
+                ex = {"params": trainer.ema_tree(state),
+                      "scale_factors": state.scales}
+            save_reference_checkpoint(args.export_torch, ex, mcfg)
             logging.info("exported reference .pth to %s", args.export_torch)
     logging.info("done; best: %s", dict(best_metrics.items()))
     return {f"{k}_best": v for k, v in best_metrics.items()}
