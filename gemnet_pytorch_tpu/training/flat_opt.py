@@ -145,9 +145,14 @@ def apply_update(
     nu = b2 * st.nu + (1.0 - b2) * (g * g)
     cf = count_inc.astype(jnp.float32)
     mu_hat = mu / (1.0 - b1**cf)
-    nu_hat = nu / (1.0 - b2**cf)
-    nu_max = jnp.maximum(st.nu_max, nu_hat)
-    upd = mu_hat / (jnp.sqrt(nu_max) + eps)
+    # torch amsgrad semantics (reference trainer.py:131-150 uses
+    # torch.optim.AdamW/Adam(amsgrad=True)): running max of the RAW second
+    # moment, bias-corrected at the CURRENT step. optax.scale_by_amsgrad
+    # instead maxes the bias-corrected nu_hat, which diverges from torch at
+    # step 2 (nu_hat_1 = nu_1/(1-b2) dominates the max ~2x) — caught by
+    # tests/test_trajectory_parity.py.
+    nu_max = jnp.maximum(st.nu_max, nu)
+    upd = mu_hat / (jnp.sqrt(nu_max / (1.0 - b2**cf)) + eps)
     upd = upd + st.wd_mask * p
     lr_t = learning_rate * schedule(st.count)
     upd = upd * (-lr_t) * lr_scale

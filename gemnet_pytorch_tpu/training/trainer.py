@@ -216,12 +216,48 @@ def adaptive_gradient_clip(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def scale_by_amsgrad_torch(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-7
+) -> optax.GradientTransformation:
+    """AMSGrad with TORCH semantics (reference trainer.py:131-150 uses
+    torch.optim.AdamW/Adam(amsgrad=True)): running max of the RAW second
+    moment, bias-corrected at the CURRENT step. optax.scale_by_amsgrad maxes
+    the bias-corrected nu_hat instead, which diverges from torch from step 2
+    on (caught by tests/test_trajectory_parity.py); flat_opt.apply_update
+    mirrors this transformation."""
+    from optax._src.transform import ScaleByAmsgradState
+
+    def init_fn(params):
+        z = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return ScaleByAmsgradState(
+            count=jnp.zeros([], jnp.int32), mu=z(), nu=z(), nu_max=z()
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        t = jax.tree_util.tree_map
+        mu = t(lambda g, m: b1 * m + (1 - b1) * g, updates, state.mu)
+        nu = t(lambda g, v: b2 * v + (1 - b2) * g * g, updates, state.nu)
+        nu_max = t(jnp.maximum, state.nu_max, nu)
+        count_inc = state.count + 1
+        cf = count_inc.astype(jnp.float32)
+        bc1, bc2 = 1 - b1**cf, 1 - b2**cf
+        out = t(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu_max
+        )
+        return out, ScaleByAmsgradState(
+            count=count_inc, mu=mu, nu=nu, nu_max=nu_max
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: TrainConfig, model_cfg: ModelConfig, params) -> optax.GradientTransformation:
     schedule = _make_schedule(cfg)
 
     def adam_like(weight_decay: float) -> optax.GradientTransformation:
         parts = [
-            optax.scale_by_amsgrad(b1=0.9, b2=0.999, eps=1e-7),
+            scale_by_amsgrad_torch(b1=0.9, b2=0.999, eps=1e-7),
         ]
         if weight_decay > 0:
             parts.append(optax.add_decayed_weights(weight_decay))
