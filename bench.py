@@ -215,6 +215,7 @@ def main():
         best, med = timed_windows(train_once, iters=10)
         results[kind] = n_real / med
         results[kind + "_best"] = n_real / best
+        results[kind + "_n_real"] = n_real
         log(f"[{kind}] train steady: median {med*1e3:.2f} ms best "
             f"{best*1e3:.2f} ms -> {n_real/med:.3e} trip+quad/s (median)")
 
@@ -295,6 +296,8 @@ def main():
 
     out = {
         "metric": "triplets+quads aggregated/sec/chip (GemNet-Q train step)",
+        "small_n_real": results.get("small_n_real"),
+        "large_n_real": results.get("large_n_real"),
         "value": results["small"],
         "unit": "agg/s/chip",
         "vs_baseline": results["small"] / BENCH_BASE,

@@ -375,12 +375,15 @@ def energy_and_forces(
         dE_dR, (E, aux) = grad_fn(batch["R"])
         F = -dE_dR[:, None, :]  # (nAtoms, 1, 3)
     else:
-        forces = []
-        E = None
-        aux = None
-        for t in range(cfg.num_targets):
-            grad_fn = jax.grad(lambda R, t=t: energy_sum(R, t), has_aux=True)
-            dE_dR, (E, aux) = grad_fn(batch["R"])
-            forces.append(-dE_dR)
-        F = jnp.stack(forces, axis=1)  # (nAtoms, T, 3)
+        # ONE forward + a vmapped VJP over the target axis (jacrev structure)
+        # instead of re-running the full forward per target — halves the MVE
+        # non-direct variants' cost at T=2
+        def energy_sums(R):
+            (E, _), aux = apply(R)
+            return jnp.sum(E, axis=0), (E, aux)  # (T,)
+
+        (_, vjp, (E, aux)) = jax.vjp(energy_sums, batch["R"], has_aux=True)
+        basis = jnp.eye(cfg.num_targets, dtype=E.dtype)
+        dE_dR = jax.vmap(lambda v: vjp(v)[0])(basis)  # (T, nAtoms, 3)
+        F = -jnp.transpose(dE_dR, (1, 0, 2))  # (nAtoms, T, 3)
     return E, F, aux

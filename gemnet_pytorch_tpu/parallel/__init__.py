@@ -17,6 +17,7 @@ from .halo import (  # noqa: F401
     build_halo_partition,
     estimate_halo_pads,
     make_halo_apply,
+    make_halo_eval_step,
     make_halo_loss_and_grad,
     make_halo_train_step,
     shard_halo_batch,
@@ -24,6 +25,7 @@ from .halo import (  # noqa: F401
 from .hybrid import (  # noqa: F401
     build_dp_halo_batch,
     build_hybrid_batch,
+    make_dp_halo_eval_step,
     make_dp_halo_loss_and_grad,
     make_dp_halo_train_step,
     make_hybrid_loss_and_grad,

@@ -97,8 +97,16 @@ def make_dp_predict_fn(model, mesh: Mesh):
 
 
 def make_dp_eval_step(trainer: Trainer, mesh: Mesh):
+    """(params, scales, stacked_batch) -> (metrics, counts) as GLOBAL masked
+    ratios (psum over dp), replicated. Accepts dict batches or packed uint8
+    rows (BatchPacker) like the train step; a remainder group can be padded
+    with `trainer.packer.zero_masks(row)` copies, which contribute zero to
+    every num/den pair."""
     def device_eval(params, scales, batch):
-        batch = {k: v[0] for k, v in batch.items()}
+        if isinstance(batch, dict):
+            batch = {k: v[0] for k, v in batch.items()}
+        else:
+            batch = trainer.packer.unpack(batch[0])
         _, (metrics, counts) = trainer._loss_and_metrics(
             params, scales, batch, axis_name=AXIS
         )

@@ -667,6 +667,43 @@ def make_halo_loss_and_grad(model, mesh, loss_fn):
     return jax.jit(loss_and_grad)
 
 
+def make_halo_eval_step(trainer, mesh):
+    """Evaluation over a halo mesh: (params, scales, halo_batch) ->
+    (metrics, counts), replicated — the eval counterpart of
+    make_halo_train_step, used for EMA-swapped validation under --halo so
+    the mesh's chips all participate instead of idling (params may be the
+    flat EMA vector; trainer._loss_and_metrics unravels it)."""
+    import dataclasses as _dc
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ..models.gemnet import make_model
+
+    halo_model = make_model(
+        _dc.replace(trainer.model.config, ep_axis=EP_AXIS, ep_halo=True)
+    )
+
+    def device_metrics(params, scales, batch):
+        local = {
+            k: (v[0] if k in SHARDED_KEYS else v) for k, v in batch.items()
+        }
+        _, (metrics, counts) = trainer._loss_and_metrics(
+            params, scales, local, model=halo_model
+        )
+        return metrics, counts
+
+    def eval_step(params, scales, batch):
+        sharded = jax.shard_map(
+            device_metrics, mesh=mesh,
+            in_specs=(P(), P(), halo_in_specs(batch)),
+            out_specs=(P(), P()), check_vma=True,
+        )
+        return sharded(params, scales, batch)
+
+    return jax.jit(eval_step)
+
+
 def make_halo_train_step(trainer, mesh):
     """Full training step over a halo mesh: exact gradients (jax.grad outside
     the vma-tracked shard_map), then the trainer's optimizer/EMA update and

@@ -213,6 +213,36 @@ def make_dp_halo_loss_and_grad(model, mesh: Mesh, loss_parts_fn):
     return jax.jit(loss_and_grad)
 
 
+def make_dp_halo_eval_step(trainer, mesh: Mesh):
+    """Evaluation on the dp x halo mesh: (params, scales, batch) ->
+    (metrics, counts) as GLOBAL ratios (psum over dp), replicated — the eval
+    counterpart of make_dp_halo_train_step for EMA-swapped validation."""
+    from ..models.gemnet import make_model
+    from .halo import EP_AXIS as HALO_AXIS
+
+    halo_model = make_model(
+        dataclasses.replace(trainer.model.config, ep_axis=HALO_AXIS,
+                            ep_halo=True)
+    )
+
+    def device_metrics(params, scales, batch):
+        _, (metrics, counts) = trainer._loss_and_metrics(
+            params, scales, _dp_halo_local(batch),
+            axis_name=DP_AXIS, model=halo_model,
+        )
+        return metrics, counts
+
+    def eval_step(params, scales, batch):
+        sharded = jax.shard_map(
+            device_metrics, mesh=mesh,
+            in_specs=(P(), P(), dp_halo_in_specs(batch)),
+            out_specs=(P(), P()), check_vma=True,
+        )
+        return sharded(params, scales, batch)
+
+    return jax.jit(eval_step)
+
+
 def make_dp_halo_train_step(trainer, mesh: Mesh):
     """Full training step on the dp x halo mesh: the trainer's loss in global
     num/den form (psum over dp), halo execution over ep inside each group,

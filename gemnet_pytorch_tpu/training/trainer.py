@@ -103,6 +103,20 @@ class BatchPacker:
             buf[off : off + nb] = np.ascontiguousarray(v).view(np.uint8).ravel()
         return buf
 
+    def zero_masks(self, row):
+        """Copy of a packed row with mol_mask/atom_mask zeroed: a batch that
+        contributes NOTHING to any masked num/den metric but is numerically
+        safe to run (real in-bounds indices/geometry). Used to pad the last
+        dp-eval group to the mesh width without double-counting molecules."""
+        import numpy as np
+
+        assert self.layout is not None, "pack a batch first"
+        out = np.array(row, copy=True)
+        for k, off, nb, _, _ in self.layout:
+            if k in ("mol_mask", "atom_mask"):
+                out[off : off + nb] = 0
+        return out
+
     def unpack(self, packed):
         """jit-side: one device buffer -> batch dict (bitcast slices)."""
         out = {}

@@ -348,3 +348,40 @@ def test_halo_overlap_issue_order():
             "halo exchanges must be issued as an adjacent pair before the "
             f"block's segment reduces; got event stream {events}"
         )
+
+
+def test_halo_eval_step_matches_single_device():
+    """make_halo_eval_step (EMA-swapped validation under --halo) reproduces
+    the single-device eval metrics on the same batch, with the flat EMA
+    vector as params."""
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.config import TrainConfig
+    from gemnet_pytorch_tpu.parallel import make_mesh
+    from gemnet_pytorch_tpu.parallel.halo import (
+        make_halo_eval_step, shard_halo_batch,
+    )
+    from gemnet_pytorch_tpu.training import Trainer
+
+    model, variables, jbatch, data = _setup(triplets_only=False)
+    tcfg = TrainConfig(weight_decay=1e-6, loss="mae", rho_force=0.5)
+    trainer = Trainer(model, tcfg)
+    state = trainer.init_state(dict(variables))
+    # make EMA differ from params so use-of-EMA is actually observable
+    state = state.replace(ema_params=state.ema_params * 1.01)
+
+    mesh = make_mesh(2, axis_names=("ep",))
+    sharded = shard_halo_batch(_halo_batch(data, 2, False), mesh)
+    ev = make_halo_eval_step(trainer, mesh)
+    metrics, counts = ev(state.ema_params, state.scales, sharded)
+
+    ref_metrics, ref_counts = trainer.eval_step_fn()(
+        state.ema_params, state.scales, jbatch
+    )
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            float(metrics[k]), float(ref_metrics[k]), rtol=2e-5, atol=1e-7,
+            err_msg=k,
+        )
+    assert float(counts["n_mol"]) == float(ref_counts["n_mol"])
+    assert float(counts["n_atoms"]) == float(ref_counts["n_atoms"])

@@ -239,3 +239,50 @@ def test_dp_predict_matches_single_device(synthetic_npz):
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(F[s]), np.asarray(F1),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_dp_eval_step_packed_with_zero_mask_padding(synthetic_npz):
+    """make_dp_eval_step on PACKED rows: a 4-device group fed 3 real shards +
+    1 zero-masked pad row reports exactly the weighted single-device metrics
+    of the 3 real shards (the pad contributes 0 to every num/den pair) —
+    the remainder-group convention of train.py's mesh-parallel eval."""
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.parallel import (
+        make_dp_eval_step, make_mesh, shard_batch_to_mesh,
+    )
+
+    trainer, state, shards = _setup(3, synthetic_npz)
+    rows = [trainer.packer.pack(b) for b in shards]
+    rows.append(trainer.packer.zero_masks(rows[0]))
+    mesh = make_mesh(4)
+    dp_eval = make_dp_eval_step(trainer, mesh)
+    stacked = shard_batch_to_mesh(np.stack(rows), mesh)
+    # EMA params (what train.py's EMA-swapped eval passes), flat vector
+    metrics, counts = dp_eval(state.ema_params, state.scales, stacked)
+
+    keys = [k for k in trainer.tracked_metrics if k != "loss"]
+    num = {k: 0.0 for k in keys}
+    n_mol = n_atoms = 0.0
+    eval_step = trainer.eval_step_fn()
+    for b in shards:
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        m, c = eval_step(state.ema_params, state.scales, jb)
+        for k in keys:
+            w = c["n_mol"] if k == "energy_mae" else c["n_atoms"]
+            num[k] += float(m[k]) * float(w)
+        n_mol += float(c["n_mol"])
+        n_atoms += float(c["n_atoms"])
+    assert float(counts["n_mol"]) == n_mol  # pad row contributed nothing
+    assert float(counts["n_atoms"]) == n_atoms
+    expected = {k: num[k] / (n_mol if k == "energy_mae" else n_atoms)
+                for k in keys}
+    # the composite loss mixes the mol- and atom-denominator terms
+    rho = trainer.rho_force
+    expected["loss"] = (
+        (1 - rho) * expected["energy_mae"] + rho * expected["force_mae"]
+    )
+    for k, v in expected.items():
+        np.testing.assert_allclose(
+            float(metrics[k]), v, rtol=2e-5, atol=1e-7, err_msg=k
+        )

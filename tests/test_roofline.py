@@ -1,0 +1,99 @@
+"""Sanity checks for the analytic roofline (perf/roofline.py): the kernel
+census sees every Pallas call in the compiled train step (fwd, bwd, and the
+double-backward's recursive calls), the cost bounds are ordered, and the
+below-floor flag fires for impossible measurements. The reference publishes
+no perf numbers (BASELINE.md), so this model is the framework's own
+ground truth for bench.py's MFU/SOL reporting."""
+
+import numpy as np
+
+
+def _tiny_trainer(synthetic_npz):
+    import jax
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.config import ModelConfig, TrainConfig
+    from gemnet_pytorch_tpu.data import DataContainer, DataProvider
+    from gemnet_pytorch_tpu.models import make_model
+    from gemnet_pytorch_tpu.training import Trainer
+
+    mcfg = ModelConfig(
+        num_spherical=3, num_radial=3, num_blocks=1, emb_size_atom=16,
+        emb_size_edge=16, emb_size_trip=8, emb_size_quad=4, emb_size_rbf=4,
+        emb_size_cbf=4, emb_size_sbf=4, emb_size_bil_quad=4, emb_size_bil_trip=8,
+        triplets_only=False, direct_forces=False,
+    )
+    tcfg = TrainConfig(weight_decay=2e-6, rho_force=0.5)
+    c = DataContainer(synthetic_npz, cutoff=5.0, int_cutoff=10.0,
+                      triplets_only=False)
+    p = DataProvider(c, ntrain=16, nval=4, batch_size=4, seed=0,
+                     pad_sample_batches=2)
+    it = p.get_dataset("train", prefetch_workers=0)
+    batch = next(it)
+    model = make_model(mcfg)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(0), jb))
+    trainer = Trainer(model, tcfg)
+    state = trainer.init_state(variables)
+    packed = jnp.asarray(trainer.packer.pack(batch))
+    return trainer, state, packed, p.pad_dims
+
+
+def test_census_and_cost_bounds(synthetic_npz, monkeypatch):
+    import jax.numpy as jnp
+
+    import gemnet_pytorch_tpu.ops.pallas.segment_outer as so
+    from gemnet_pytorch_tpu.perf.roofline import (
+        kernel_census, pallas_costs, speed_of_light, xla_costs,
+    )
+
+    trainer, state, packed, dims = _tiny_trainer(synthetic_npz)
+    step = trainer.train_step_fn()
+    lr = jnp.asarray(1.0)
+    # the census is a TRACE artifact: force the pallas path while tracing
+    # (tests run on the CPU backend, where 'auto' routes to XLA; on TPU —
+    # bench.py — the same census comes out of the auto path)
+    orig_o, orig_g = so._outer_sum_pallas, so._gather_contract_pallas
+    with monkeypatch.context() as m:
+        m.setattr(so, "_use_pallas", lambda impl: True)
+        m.setattr(so, "_outer_sum_pallas",
+                  lambda *a, **k: orig_o(*a, **{**k, "interpret": True}))
+        m.setattr(so, "_gather_contract_pallas",
+                  lambda *a, **k: orig_g(*a, **{**k, "interpret": True}))
+        census = kernel_census(step, state, packed, lr)
+    # the -dE/dR double-backward path must surface BOTH kernel directions,
+    # with recursion: >= 2 fwd (fwd + bwd-of-bwd) and >= 2 bwd per space
+    kinds = [c["kind"] for c in census]
+    assert kinds.count("fwd") >= 2 and kinds.count("bwd") >= 2, kinds
+    for c in census:
+        assert c["n"] > 0 and c["S"] > 0 and c["M"] > 0 and c["W"] >= 1
+
+    costs = pallas_costs(census)
+    assert 0 < costs["f32_flops_lo"] <= costs["f32_flops_hi"]
+    assert 0 < costs["bytes_lo"] <= costs["bytes_hi"]
+    # one-hot W-amplification: modeled MXU flops strictly exceed useful flops
+    assert costs["useful_flops"] < costs["f32_flops_lo"]
+
+    # tightening with real row counts can only lower the hi bound
+    real_rows = {dims.n_triplets: dims.n_triplets // 2,
+                 dims.n_quads: dims.n_quads // 2,
+                 dims.n_intm: dims.n_intm // 2}
+    tight = pallas_costs(census, real_rows)
+    assert tight["f32_flops_hi"] <= costs["f32_flops_hi"]
+    assert tight["f32_flops_lo"] <= costs["f32_flops_lo"]
+
+    compiled = step.lower(state, packed, lr).compile()
+    xla = xla_costs(compiled)
+    assert xla["flops"] > 0 and xla["bytes"] > 0
+
+    rl = speed_of_light(xla, costs)
+    sol_lo, sol_hi = rl.sol_seconds("lo"), rl.sol_seconds("hi")
+    assert 0 < sol_lo <= sol_hi
+    # a sane (slower-than-light) measurement
+    rep = rl.report(measured_seconds=sol_hi * 10)
+    assert not rep["below_floor"]
+    assert 0 < rep["mfu_bf16peak"] < 1
+    assert 0 < rep["sol_fraction"] <= 1.001
+    # an impossible measurement is flagged, not celebrated
+    rep2 = rl.report(measured_seconds=sol_lo / 10)
+    assert rep2["below_floor"]

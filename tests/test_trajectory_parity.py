@@ -1,0 +1,317 @@
+"""Long-horizon TRAJECTORY parity vs the reference training loop.
+
+test_trainer_parity.py pins 1-2 steps; drift that compounds over steps
+(optimizer moment dynamics, schedule decay, EMA accumulation, plateau
+interplay) is invisible there. This file runs the reference Trainer
+(/root/reference/gemnet/training/trainer.py:325-408) and this framework's
+jitted train step for ~100 identical steps on identical weights and cycling
+batches — including linear warmup + exponential decay, per-step EMA,
+EMA-swapped evaluations every `eval_interval` steps, and reduce-on-plateau
+LR decays that actually fire (train_seml.py:308-387 loop semantics) — and
+asserts the loss curves, EMA-validation curves, plateau decisions, and final
+parameters track within fp32 drift tolerance.
+
+Three variants, per the round-2 verdict:
+- plain  : force-RMSE loss, global-norm clip (the canonical config.yaml path)
+- mve    : Gaussian-NLL mean-variance estimation, num_targets=2
+           (reference trainer.py:301-306,333-336)
+- agc    : adaptive gradient clipping with agc_compat_reference=True so both
+           sides clip the SAME (reference-selected) parameter set
+           (reference trainer.py:190-198,348-352)
+
+This test caught the AMSGrad semantics bug (optax maxes the bias-corrected
+second moment; torch maxes the raw moment) that 1-2 step parity could not:
+the two agree at step 1 and drift percent-per-step from step 2 on.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import add_reference_shims
+from gemnet_pytorch_tpu.config import ModelConfig, TrainConfig
+
+from test_model_parity import SCALE_FILE, SMALL
+
+HP = dict(
+    learning_rate=1e-3,
+    decay_steps=50.0,  # visible exponential decay inside the horizon
+    decay_rate=0.5,
+    warmup_steps=5,
+    weight_decay=2e-6,
+    ema_decay=0.99,
+    rho_force=0.9,
+    decay_patience=1,
+    decay_factor=0.5,
+    decay_cooldown=1,
+)
+# rel-threshold 0.99 makes every evaluation after the first a "bad" step on
+# both sides (loss never drops 100x between evals), so the plateau machinery
+# fires deterministically: reduce at evals 3, 6, 9, ... (patience 1 + 1-eval
+# cooldown). Both implementations read the threshold dynamically.
+PLATEAU_THRESHOLD = 0.99
+
+
+def _batch_set(synthetic_npz, idx_lists, triplets_only=True):
+    """K (reference inputs, our padded batch) pairs over SHARED PadDims so
+    the jitted step compiles once across the whole trajectory."""
+    add_reference_shims()
+    from gemnet.training.data_container import DataContainer as RefContainer
+
+    from gemnet_pytorch_tpu.data.containers import DataContainer
+    from gemnet_pytorch_tpu.data.padding import PadDims, pad_batch
+
+    ref_c = RefContainer(
+        synthetic_npz, cutoff=5.0, int_cutoff=10.0, triplets_only=triplets_only
+    )
+    c = DataContainer(
+        synthetic_npz, cutoff=5.0, int_cutoff=10.0, triplets_only=triplets_only
+    )
+    builds = [c.build(idx) for idx in idx_lists]
+    dims = PadDims(
+        n_mol=max(len(idx) for idx in idx_lists) + 1,
+        n_atoms=max(len(Z) for _, Z, _, _, _ in builds) + 8,
+        n_edges=max(g.n_edges for g, *_ in builds) + 32,
+        n_triplets=max(g.n_triplets for g, *_ in builds) + 64,
+        kmax3=max(g.kmax3 for g, *_ in builds) + 2,
+        n_int_edges=0 if triplets_only else max(g.n_int_edges for g, *_ in builds) + 16,
+        n_intm=0 if triplets_only else max(g.n_intm for g, *_ in builds) + 32,
+        n_quads=0 if triplets_only else max(g.n_quads for g, *_ in builds) + 64,
+        kmax4=0 if triplets_only else max(g.kmax4 for g, *_ in builds) + 2,
+    )
+    pairs = []
+    for idx, (g, Z, R, E, F) in zip(idx_lists, builds):
+        ref_inputs = ref_c[idx]
+        batch = pad_batch(g, Z, R, dims, E=E, F=F, triplets_only=triplets_only)
+        pairs.append((ref_inputs, batch))
+    return pairs
+
+
+def _split_targets(ref_batch):
+    inputs = {k: v for k, v in ref_batch.items() if k not in ("E", "F")}
+    targets = {k: ref_batch[k] for k in ("E", "F")}
+    return inputs, targets
+
+
+def _run_trajectories(synthetic_npz, *, n_steps, eval_interval, loss="rmse",
+                      mve=False, agc=False, grad_clip_max=10.0,
+                      threshold_mode="rel", threshold=PLATEAU_THRESHOLD):
+    """Run reference and TPU-framework training loops in lockstep; returns a
+    dict of paired trajectories + final states for the asserts."""
+    import jax
+    import torch
+
+    add_reference_shims()
+    from gemnet.training.metrics import Metrics as _RefMetricsBase
+    from gemnet.training.trainer import Trainer as RefTrainer
+
+    class RefMetrics(_RefMetricsBase):
+        """Reference MeanMetric sums raw TENSORS for the MVE var diagnostics
+        (metrics.py:69-71 with trainer.py:385-391 passing var_energy /
+        var_forces un-reduced), which crashes as soon as two batches have
+        different molecule/atom counts. Reduce to means first — purely an
+        observer fix; the training dynamics under comparison are untouched."""
+
+        def update_state(self, nsamples, **updates):
+            updates = {
+                k: (v.mean() if getattr(v, "ndim", 0) > 0 else v)
+                for k, v in updates.items()
+            }
+            super().update_state(nsamples, **updates)
+
+    from gemnet_pytorch_tpu.compat import import_reference_state_dict
+    from gemnet_pytorch_tpu.compat.torch_import import map_reference_name
+    from gemnet_pytorch_tpu.models import make_model
+    from gemnet_pytorch_tpu.training import Metrics, Trainer
+    from gemnet_pytorch_tpu.training.schedules import PlateauState
+
+    num_targets = 2 if mve else 1
+    from gemnet.model.gemnet import GemNet as RefGemNet
+
+    torch.manual_seed(1234)
+    ref_model = RefGemNet(
+        num_targets=num_targets, scale_file=SCALE_FILE,
+        triplets_only=True, direct_forces=False, **SMALL,
+    )
+
+    train_idx = [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11], [12, 13, 14, 15]]
+    val_idx = [[16, 17, 18, 19]]
+    train_pairs = _batch_set(synthetic_npz, train_idx + val_idx)
+    val_pair = train_pairs.pop()
+
+    cfg = ModelConfig(
+        triplets_only=True, direct_forces=False, num_targets=num_targets, **SMALL
+    )
+    model = make_model(cfg)
+    import jax.numpy as jnp
+
+    jbatch = {k: jnp.asarray(v) for k, v in train_pairs[0][1].items()}
+    variables = dict(model.init(jax.random.PRNGKey(0), jbatch))
+    state_dict = {
+        k: v.detach().numpy().copy() for k, v in ref_model.state_dict().items()
+    }
+    variables = import_reference_state_dict(state_dict, variables)
+
+    ref_trainer = RefTrainer(
+        ref_model,
+        learning_rate=HP["learning_rate"],
+        decay_steps=HP["decay_steps"],
+        decay_rate=HP["decay_rate"],
+        warmup_steps=HP["warmup_steps"],
+        weight_decay=HP["weight_decay"],
+        staircase=False,
+        grad_clip_max=grad_clip_max,
+        decay_patience=HP["decay_patience"],
+        decay_factor=HP["decay_factor"],
+        decay_cooldown=HP["decay_cooldown"],
+        ema_decay=HP["ema_decay"],
+        rho_force=HP["rho_force"],
+        loss=loss,
+        mve=mve,
+        agc=agc,
+    )
+    ref_trainer.plateau_callback.threshold = threshold
+    ref_trainer.plateau_callback.threshold_mode = threshold_mode
+
+    tcfg = TrainConfig(
+        loss=loss, mve=mve, agc=agc, agc_compat_reference=agc, staircase=False,
+        grad_clip_max=grad_clip_max,
+        **{k: v for k, v in HP.items() if k not in ("decay_patience",
+                                                    "decay_factor",
+                                                    "decay_cooldown")},
+    )
+    trainer = Trainer(model, tcfg)
+    state = trainer.init_state(variables)
+    plateau = PlateauState(
+        factor=HP["decay_factor"], patience=HP["decay_patience"],
+        cooldown=HP["decay_cooldown"], threshold=threshold,
+        threshold_mode=threshold_mode,
+    )
+
+    ref_metrics = RefMetrics("train", ref_trainer.tracked_metrics)
+    our_metrics = Metrics("train", trainer.tracked_metrics)
+    ref_losses, our_losses = [], []
+    ref_vals, our_vals = [], []
+    lr_scale = 1.0
+
+    for step in range(1, n_steps + 1):
+        ref_inputs, batch = train_pairs[(step - 1) % len(train_pairs)]
+        inputs, targets = _split_targets(ref_inputs)
+        it = iter([(inputs, targets)])
+        ref_losses.append(float(ref_trainer.train_on_batch(it, ref_metrics)))
+        state, l = trainer.train_on_batch(state, batch, lr_scale)
+        our_losses.append(float(l))
+        # torch LambdaLR mechanics: a plateau reduce at this step's eval
+        # mutates base_lrs AFTER scheduler.step() already set the next
+        # step's lr, so it takes effect at step+2 — snapshot before eval
+        # (train.py replicates this with lr_eff)
+        lr_scale = plateau.lr_scale
+
+        if step % eval_interval == 0:
+            # EMA-swapped validation + plateau decay, train_seml.py:343-385
+            ref_trainer.save_variable_backups()
+            ref_trainer.load_averaged_variables()
+            vm = RefMetrics("val", ref_trainer.tracked_metrics)
+            vi, vt = _split_targets(val_pair[0])
+            ref_val = float(ref_trainer.test_on_batch(iter([(vi, vt)]), vm))
+            ref_trainer.restore_variable_backups()
+            ref_trainer.decay_maybe(ref_val)
+            ref_vals.append(ref_val)
+
+            ovm = Metrics("val", trainer.tracked_metrics)
+            our_val = trainer.test_on_batch(state, val_pair[1], ovm, use_ema=True)
+            plateau.step(our_val)
+            our_vals.append(float(our_val))
+
+    # final-parameter deltas (mapped through the weight-import name map)
+    ref_after = {
+        name: p.detach().numpy().copy() for name, p in ref_model.named_parameters()
+    }
+    params_after = jax.device_get(trainer.params_tree(state))
+    ema_after = jax.device_get(trainer.ema_tree(state))
+    ref_ema = {
+        name: s.detach().numpy().copy()
+        for (name, p), s in zip(
+            [(n, p) for n, p in ref_model.named_parameters() if p.requires_grad],
+            ref_trainer.exp_decay.shadow_params,
+        )
+    }
+    param_drift, ema_drift, n_checked = 0.0, 0.0, 0
+    for name, ref_p in ref_after.items():
+        mapped = map_reference_name(name.replace(".seq_energy.", ".layers."))
+        if mapped is None or mapped[0] != "params":
+            continue
+        _, path, transpose = mapped
+        node = params_after
+        enode = ema_after
+        for part in path:
+            node = node[part]
+            enode = enode[part]
+        ours, ours_ema = np.asarray(node), np.asarray(enode)
+        if transpose:
+            ours, ours_ema = ours.T, ours_ema.T
+        scale = max(np.abs(ref_p).max(), 1e-3)
+        param_drift = max(param_drift, np.abs(ours - ref_p).max() / scale)
+        if name in ref_ema:
+            ema_drift = max(
+                ema_drift, np.abs(ours_ema - ref_ema[name]).max() / scale
+            )
+        n_checked += 1
+    assert n_checked > 30
+
+    return dict(
+        ref_losses=np.array(ref_losses), our_losses=np.array(our_losses),
+        ref_vals=np.array(ref_vals), our_vals=np.array(our_vals),
+        ref_reduces=ref_trainer.plateau_callback._reduce_counter,
+        our_reduces=plateau.reduce_counter,
+        ref_lr_ratio=ref_trainer.schedulers.wrapped[0].base_lrs[0]
+        / HP["learning_rate"],
+        our_lr_scale=plateau.lr_scale,
+        param_drift=param_drift, ema_drift=ema_drift,
+    )
+
+
+def _assert_curves(t, n_steps, loss_tol, val_tol, param_tol):
+    rel = np.abs(t["ref_losses"] - t["our_losses"]) / (
+        np.abs(t["ref_losses"]) + 1e-8
+    )
+    # drift compounds: allow a linearly growing envelope on the loss curve
+    envelope = loss_tol * (1.0 + 9.0 * np.arange(n_steps) / n_steps)
+    bad = np.nonzero(rel > envelope)[0]
+    assert bad.size == 0, (
+        f"loss curves diverge at steps {bad[:5]}: rel {rel[bad[:5]]} "
+        f"(envelope {envelope[bad[:5]]})"
+    )
+    vrel = np.abs(t["ref_vals"] - t["our_vals"]) / (np.abs(t["ref_vals"]) + 1e-8)
+    assert vrel.max() < val_tol, f"EMA-val curves diverge: {vrel}"
+    # plateau decisions must be IDENTICAL (they are discrete)
+    assert t["ref_reduces"] == t["our_reduces"] > 0, (
+        t["ref_reduces"], t["our_reduces"],
+    )
+    assert t["ref_lr_ratio"] == pytest.approx(t["our_lr_scale"], rel=1e-12)
+    assert t["param_drift"] < param_tol, t["param_drift"]
+    assert t["ema_drift"] < param_tol, t["ema_drift"]
+
+
+def test_trajectory_parity_plain(synthetic_npz):
+    n = 100
+    t = _run_trajectories(synthetic_npz, n_steps=n, eval_interval=10, loss="rmse")
+    _assert_curves(t, n, loss_tol=2e-4, val_tol=2e-3, param_tol=5e-3)
+
+
+def test_trajectory_parity_mve(synthetic_npz):
+    n = 60
+    # the Gaussian NLL goes NEGATIVE, which inverts the rel-threshold
+    # "never better" trick; a huge abs threshold is sign-independent
+    t = _run_trajectories(
+        synthetic_npz, n_steps=n, eval_interval=10, mve=True,
+        threshold_mode="abs", threshold=1e9,
+    )
+    _assert_curves(t, n, loss_tol=2e-4, val_tol=2e-3, param_tol=5e-3)
+
+
+def test_trajectory_parity_agc(synthetic_npz):
+    n = 60
+    t = _run_trajectories(
+        synthetic_npz, n_steps=n, eval_interval=10, agc=True, grad_clip_max=0.05
+    )
+    _assert_curves(t, n, loss_tol=2e-4, val_tol=2e-3, param_tol=5e-3)

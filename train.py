@@ -328,12 +328,22 @@ def main():
         train_iter = provider.get_dataset("train")
     else:
         train_iter = provider.get_dataset("train", transform=trainer.packer.pack)
-    # validation stays single-device (EMA weights are replicated)
-    val_iter = provider.get_dataset("val", transform=trainer.packer.pack)
+    # validation runs on the SAME mesh as training under --dp/--halo/--dp-halo
+    # (no chip idles during eval); EMA weights are replicated either way
+    if args.halo or args.dp_halo:
+        # partitions built inline at eval time: prefetched parts could go
+        # stale if a train-side outlier grows halo_pads mid-interval
+        val_iter = provider.get_dataset(
+            "val", raw_transform=halo_transform, prefetch_workers=0)
+    else:
+        val_iter = provider.get_dataset("val", transform=trainer.packer.pack)
     dp_step = None
     ep_step = None
     halo_step = None
     dp_halo_step = None
+    dp_eval = None
+    halo_eval = None
+    dp_halo_eval = None
     if args.dp:
         from gemnet_pytorch_tpu.parallel import (
             make_dp_train_step, make_mesh, shard_batch_to_mesh, stack_shards,
@@ -375,6 +385,12 @@ def main():
     steps_per_epoch = int(np.ceil(num_train / tcfg.batch_size))
     t_start, t_steps = None, 0
     step = step_init
+    # torch scheduler mechanics (reference ReduceLROnPlateau mutates base_lrs
+    # AFTER the current step's scheduler.step() already computed the next
+    # step's lr, trainer.py:658-668): a plateau reduce at the eval following
+    # step s takes effect at step s+2, not s+1. lr_eff is snapshotted before
+    # each eval to reproduce that exactly (tests/test_trajectory_parity.py).
+    lr_eff = plateau.lr_scale
     while step < tcfg.num_steps:
         # single-device path: K steps per device dispatch (lax.scan over
         # stacked packed batches, trainer.multi_step_fn) — the per-dispatch
@@ -387,6 +403,8 @@ def main():
             k = min(args.steps_per_call, tcfg.num_steps - step)
             for interval in (10, tcfg.save_interval, tcfg.evaluation_interval):
                 k = min(k, interval - step % interval)
+            if lr_eff != plateau.lr_scale:
+                k = 1  # the delayed pre-reduce scale applies to ONE step
         step += k
         # async step: metrics accumulate on device, drained at eval intervals
         if args.dp:
@@ -401,7 +419,7 @@ def main():
                 lo = jax.process_index() * n_local
                 shards = shards[lo:lo + n_local]
             stacked = shard_batch_to_mesh(stack_shards(shards), mesh)
-            state, _, _ = dp_step(state, stacked, jnp.asarray(plateau.lr_scale))
+            state, _, _ = dp_step(state, stacked, jnp.asarray(lr_eff))
         elif args.ep:
             if ep_step is None:
                 from gemnet_pytorch_tpu.parallel import shard_ep_batch
@@ -409,7 +427,7 @@ def main():
 
                 ep_step = make_ep_train_step(trainer, ep_mesh)
             batch = shard_ep_batch(next(train_iter), ep_mesh)
-            state, _ = ep_step(state, batch, jnp.asarray(plateau.lr_scale))
+            state, _ = ep_step(state, batch, jnp.asarray(lr_eff))
         elif args.halo:
             if halo_step is None:
                 from gemnet_pytorch_tpu.parallel import (
@@ -418,7 +436,7 @@ def main():
 
                 halo_step = make_halo_train_step(trainer, ep_mesh)
             batch = shard_halo_batch(next(train_iter), ep_mesh)
-            state, _ = halo_step(state, batch, jnp.asarray(plateau.lr_scale))
+            state, _ = halo_step(state, batch, jnp.asarray(lr_eff))
         elif args.dp_halo:
             if dp_halo_step is None:
                 from gemnet_pytorch_tpu.parallel import (
@@ -441,16 +459,19 @@ def main():
                 for k in device_batch_halo(parts[0])
             }
             batch = shard_dp_halo_batch(stacked, hybrid_mesh)
-            state, _ = dp_halo_step(state, batch, jnp.asarray(plateau.lr_scale))
+            state, _ = dp_halo_step(state, batch, jnp.asarray(lr_eff))
         elif args.pp:
             state, _ = pp_trainer.train_on_microbatches(
                 state, [next(train_iter) for _ in range(pp_micro)],
-                plateau.lr_scale)
+                lr_eff)
         elif k > 1:
             state, _ = trainer.train_on_batches(
-                state, [next(train_iter) for _ in range(k)], plateau.lr_scale)
+                state, [next(train_iter) for _ in range(k)], lr_eff)
         else:
-            state, _ = trainer.train_on_batch(state, next(train_iter), plateau.lr_scale)
+            state, _ = trainer.train_on_batch(state, next(train_iter), lr_eff)
+        # snapshot BEFORE any plateau.step below: a reduce decided at this
+        # step's eval must first apply two steps out (see lr_eff note above)
+        lr_eff = plateau.lr_scale
         if t_start is None and step >= step_init + 2:
             t_start, t_steps = time.perf_counter(), step  # skip compile steps
 
@@ -485,6 +506,73 @@ def main():
                     m, c = eval_step(
                         pp_merged["params"], pp_merged.get("scale_factors", {}),
                         jnp.asarray(next(val_iter)))
+                    trainer._update_metrics(val_metrics, m, c)
+            elif args.dp:
+                # mesh-parallel EMA eval: args.dp val batches per dispatch;
+                # the remainder group is padded with zero-masked rows, which
+                # contribute 0 to every num/den pair (no double counting)
+                if dp_eval is None:
+                    from gemnet_pytorch_tpu.parallel import make_dp_eval_step
+
+                    dp_eval = make_dp_eval_step(trainer, mesh)
+                done = 0
+                while done < n_val_batches:
+                    take = min(args.dp, n_val_batches - done)
+                    rows = [next(val_iter) for _ in range(take)]
+                    done += take
+                    rows += [trainer.packer.zero_masks(rows[0])] * (args.dp - take)
+                    if multihost:
+                        n_local = len(jax.local_devices())
+                        lo = jax.process_index() * n_local
+                        rows = rows[lo:lo + n_local]
+                    stacked = shard_batch_to_mesh(stack_shards(rows), mesh)
+                    m, c = dp_eval(state.ema_params, state.scales, stacked)
+                    trainer._update_metrics(val_metrics, m, c)
+            elif args.halo:
+                if halo_eval is None:
+                    from gemnet_pytorch_tpu.parallel import make_halo_eval_step
+
+                    halo_eval = make_halo_eval_step(trainer, ep_mesh)
+                from gemnet_pytorch_tpu.parallel import shard_halo_batch as _shb
+                for _ in range(n_val_batches):
+                    b = _shb(next(val_iter), ep_mesh)
+                    m, c = halo_eval(state.ema_params, state.scales, b)
+                    trainer._update_metrics(val_metrics, m, c)
+            elif args.dp_halo:
+                if dp_halo_eval is None:
+                    from gemnet_pytorch_tpu.parallel import (
+                        make_dp_halo_eval_step,
+                    )
+
+                    dp_halo_eval = make_dp_halo_eval_step(trainer, hybrid_mesh)
+                from gemnet_pytorch_tpu.parallel import (
+                    shard_dp_halo_batch as _sdhb,
+                )
+                from gemnet_pytorch_tpu.parallel.halo import device_batch_halo
+
+                def _zero_masks_part(q):
+                    q = dict(q)
+                    for mk in ("mol_mask", "atom_mask"):
+                        q[mk] = np.zeros_like(q[mk])
+                    return q
+
+                done = 0
+                n_dp = args.dp_halo[0]
+                while done < n_val_batches:
+                    take = min(n_dp, n_val_batches - done)
+                    parts = []
+                    while len(parts) < take:
+                        part = next(val_iter)
+                        if part["halo_pads"] == halo_pads:
+                            parts.append(part)
+                    done += take
+                    parts += [_zero_masks_part(parts[0])] * (n_dp - take)
+                    stacked = {
+                        k: np.stack([device_batch_halo(q)[k] for q in parts])
+                        for k in device_batch_halo(parts[0])
+                    }
+                    b = _sdhb(stacked, hybrid_mesh)
+                    m, c = dp_halo_eval(state.ema_params, state.scales, b)
                     trainer._update_metrics(val_metrics, m, c)
             else:
                 for _ in range(n_val_batches):
