@@ -78,9 +78,15 @@ def _trace_log():
 
 def kernel_census(fn: Callable, *args) -> list[dict]:
     """Trace fn(*args) abstractly and return the Pallas kernel-call census
-    (one record per call site in the compiled program)."""
+    (one record per call site in the compiled program).
+
+    The census hooks fire at TRACE time, so a jit-wrapped fn that was already
+    executed would satisfy eval_shape from its trace cache and log NOTHING
+    (observed on the first TPU run: '0 calls' on a hot step). Unwrap to the
+    raw Python callable, which eval_shape always traces afresh."""
     import jax
 
+    fn = getattr(fn, "__wrapped__", fn)
     with _trace_log() as log:
         jax.eval_shape(fn, *args)
     return list(log)
