@@ -14,42 +14,52 @@ the BASELINE.json headline metric, on TWO workloads:
   edge/row-dense regime that motivates edge partitioning (PARALLEL.md);
   reported as "large_agg_per_s" in the same JSON line.
 
-Roofline (gemnet_pytorch_tpu/perf/roofline.py): the chip's matmul peaks
-(bf16 DEFAULT, fp32 HIGHEST) and HBM bandwidth are CALIBRATED in-process,
-the Pallas kernel census is taken at trace time, XLA's own post-fusion cost
-analysis covers everything else, and the JSON reports the speed-of-light
-step time + MFU + HBM utilization next to the measurement. A measured time
-below the model floor (sol_ms_lo) is physically impossible and flags the
-run as a measurement artifact ("below_floor": true + stderr error) instead
-of being reported as a win.
+Measurement methodology (rebuilt for round 4 — VERDICT r3 item 1):
+`jax.block_until_ready` returns early on the tunneled axon runtime, which
+made every round-2/3 number physically impossible (below the roofline
+floor). All timing now goes through perf/timing.timed_windows: chained
+dispatches whose k+1-th call data-depends on the k-th (the train step
+threads its state; the forward threads an explicit zero scalar), each
+window ending with a host VALUE FETCH of a scalar — the host cannot hold
+the value before the device computed the whole chain. Windows are sized
+>= max(0.5 s, 100x the measured fetch RTT) so the single fetch is a
+subtracted, bounded constant. Cross-instruments: --profile writes AND READS
+BACK a jax.profiler trace (perf/trace.py device module times), and
+train.py's long-run wall clock bounds the same step from above.
 
-Timing: the forward is measured with the SAME flat-parameter signature as
-the train step (one params leaf) — a tree-parameter signature pays ~1.2 us
-per leaf on the tunneled runtime and round 2's fwd number was inflated by
-exactly that confound. Both median and best of 5 windows are reported; the
-headline `value` uses the MEDIAN (the pooled tile has ~1.5-2x contention
-spread; best-of is kept as `best_agg_per_s` for cross-round continuity).
+Roofline (gemnet_pytorch_tpu/perf/roofline.py): matmul/HBM peaks are
+CALIBRATED in-process with the same value-fetch instruments and asserted
+against the v5e datasheet (calibration that "beats" the datasheet by >1.25x
+raises instead of recording garbage); the floor's memory term is
+live-buffer bytes (state r+w, batch read) — a true lower bound — while
+XLA's post-fusion 'bytes accessed' accounting only feeds the upper bound.
+A measured time below the floor flags the run ("below_floor": true) as a
+measurement artifact instead of being reported as a win. The Pallas kernel
+census must be non-empty whenever the Pallas path is active (round 3
+recorded 0 calls silently).
 
 vs_baseline: the reference publishes no in-repo numbers (BASELINE.md);
 the ratio is against this repo's recorded round-1 number (BENCH_BASE below)
-so progress across rounds is visible. Round 1 recorded best-of-3; the
-median-based value makes vs_baseline conservative.
+so progress across rounds is visible. NOTE: rounds 1-3 numbers all flowed
+through the broken barrier; BENCH_r04 is the first trustworthy recording
+(artifacts_r04_perf.md reconciles the history).
 
---compute-dtype bfloat16 benches the bf16 mixed-precision mode (bf16 layer
-compute + bf16 Pallas streams, fp32 accumulation/masters) for the A/B
-record; the flagship headline stays fp32 (reference-parity numerics).
+--compute-dtype bfloat16 benches the bf16 mixed-precision mode for the A/B
+record; by default the small-workload bf16 train step is ALSO measured in
+its own consecutive window block ("bf16_agg_per_s") so every BENCH records
+the A/B (VERDICT r3 item 8). The flagship headline stays fp32
+(reference-parity numerics).
 """
 
 from __future__ import annotations
 
 import json
-import statistics
 import sys
 import time
 
 import numpy as np
 
-BENCH_BASE = 2.8e7  # trip+quads/s through the TRAIN STEP, round 1, TPU v5e (best-of-3 windows; pooled tile has ~2x session variance)
+BENCH_BASE = 2.8e7  # trip+quads/s through the TRAIN STEP, round 1, TPU v5e (best-of-3 windows through the pre-round-4 barrier; see artifacts_r04_perf.md)
 
 
 def log(*a):
@@ -98,20 +108,28 @@ def make_batch(cfg, kind: str):
     return batch, n_real, g, dims, batch_np, desc
 
 
-def timed_windows(fn, iters=10, windows=5):
-    """(best, median) seconds/iter over `windows` timing windows — the shared
-    TPU pool has ~1.5-2x contention noise; median is the headline, best is
-    kept for cross-round continuity."""
-    import jax
+def measure_train_step(trainer, state, packed, lr, rtt, tag):
+    """Steady-state seconds/step of the jitted train step via chained
+    value-fetch windows. Returns (final_state, timing dict)."""
+    from gemnet_pytorch_tpu.perf.timing import fetch_scalar, timed_windows
 
-    times = []
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / iters)
-    return min(times), statistics.median(times)
+    step = trainer.train_step_fn()
+    t0 = time.perf_counter()
+    state, metrics, _ = step(state, packed, lr)
+    fetch_scalar(metrics["loss"])
+    log(f"[{tag}] train compile+first step: {time.perf_counter() - t0:.1f}s")
+
+    box = {"state": state}
+
+    def train_once():
+        box["state"], m, _ = step(box["state"], packed, lr)
+        return m["loss"]
+
+    res = timed_windows(train_once, rtt_s=rtt)
+    log(f"[{tag}] train steady: median {res['median_s']*1e3:.3f} ms best "
+        f"{res['best_s']*1e3:.3f} ms ({res['iters']} chained steps/window, "
+        f"rtt {res['rtt_s']*1e3:.1f} ms)")
+    return box["state"], res
 
 
 def main():
@@ -120,12 +138,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace of the steady-state "
-                    "small-workload train steps to this directory")
+                    "small-workload train steps to this directory AND read "
+                    "back the per-step device time (perf/trace.py)")
     ap.add_argument("--compute-dtype", default=None,
                     choices=["float32", "bfloat16"],
-                    help="override config.yaml compute dtype (bf16 A/B)")
+                    help="override config.yaml compute dtype for the "
+                    "HEADLINE workloads")
     ap.add_argument("--skip-large", action="store_true",
                     help="only the small headline workload")
+    ap.add_argument("--skip-bf16", action="store_true",
+                    help="skip the default small-workload bf16 A/B window")
     ap.add_argument("--skip-roofline", action="store_true",
                     help="skip peak calibration + cost analysis")
     ap.add_argument("--steps-per-call", type=int, default=1,
@@ -138,6 +160,7 @@ def main():
 
     from gemnet_pytorch_tpu.config import ModelConfig, TrainConfig, load_yaml_config
     from gemnet_pytorch_tpu.models import energy_and_forces, make_model
+    from gemnet_pytorch_tpu.perf.timing import fetch_scalar, measure_rtt, timed_windows
     from gemnet_pytorch_tpu.training import Trainer
 
     cfg_dict = load_yaml_config("config.yaml")
@@ -148,19 +171,33 @@ def main():
     log("devices:", jax.devices(), " compute_dtype:", cfg.compute_dtype)
 
     on_tpu = jax.default_backend() not in ("cpu",)
+    rtt = measure_rtt()
+    log(f"host<->device scalar-fetch RTT: {rtt*1e3:.2f} ms")
+
     peaks = None
+    peaks_source = "skipped"
     if not args.skip_roofline:
-        from gemnet_pytorch_tpu.perf.roofline import DEFAULT_PEAKS, calibrate_peaks
+        from gemnet_pytorch_tpu.perf.roofline import (
+            DEFAULT_PEAKS, CalibrationError, calibrate_peaks,
+        )
 
         if on_tpu:
             t0 = time.perf_counter()
-            peaks = calibrate_peaks()
-            log(f"calibrated peaks in {time.perf_counter()-t0:.1f}s: "
+            try:
+                peaks = calibrate_peaks(strict=True)
+                peaks_source = "calibrated"
+            except CalibrationError as e:
+                log(f"PEAK CALIBRATION FAILED ({e}); falling back to v5e "
+                    "datasheet anchors — derived MFU/SOL use datasheet peaks")
+                peaks = dict(DEFAULT_PEAKS)
+                peaks_source = f"datasheet-fallback({e})"
+            log(f"peaks ({peaks_source}) in {time.perf_counter()-t0:.1f}s: "
                 f"bf16 {peaks['mxu_bf16']/1e12:.1f} TF/s, "
                 f"f32-HIGHEST {peaks['mxu_f32_highest']/1e12:.1f} TF/s, "
                 f"HBM {peaks['hbm']/1e9:.0f} GB/s")
         else:
             peaks = dict(DEFAULT_PEAKS)
+            peaks_source = "datasheet(cpu-backend)"
             log("CPU backend: using datasheet peak anchors for the roofline")
 
     model = make_model(cfg)
@@ -179,53 +216,75 @@ def main():
         if kind == "small":
             # forward with the SAME flat-params + packed-batch signature as
             # the train step (tree signatures pay per-leaf dispatch overhead
-            # on the tunneled runtime — round 2's fwd/train contradiction)
+            # on the tunneled runtime — round 2's fwd/train contradiction).
+            # `eps` (always 0) chains call k+1 onto call k's output so the
+            # window's final value fetch covers every dispatched forward.
             @jax.jit
-            def forward(flat, scales, packed):
+            def forward(flat, scales, packed, eps):
                 b = trainer.packer.unpack(packed)
-                params = trainer.unravel(flat)
+                params = trainer.unravel(flat + eps)
                 vs = {"params": params}
                 if scales:
                     vs["scale_factors"] = scales
                 E, F, _ = energy_and_forces(model, vs, b)
-                return E, F
+                return E, F, jnp.sum(E) * 0.0
 
             t0 = time.perf_counter()
-            E, F = forward(state.params, state.scales, packed)
-            jax.block_until_ready(E)
+            zero = jnp.zeros((), jnp.float32)
+            E, F, chain = forward(state.params, state.scales, packed, zero)
+            fetch_scalar(chain)
             log(f"[{kind}] fwd compile+first run: {time.perf_counter() - t0:.1f}s")
-            best, med = timed_windows(
-                lambda: forward(state.params, state.scales, packed)[0], iters=20)
-            log(f"[{kind}] fwd steady: median {med*1e3:.2f} ms best {best*1e3:.2f} "
-                f"ms -> {n_real/med:.3e} trip+quad/s")
-            results["fwd_ms_median"] = med * 1e3
+            box = {"eps": zero}
 
-        # full training step (loss incl. -dE/dR forces, double backward, optimizer)
-        step = trainer.train_step_fn()
-        t0 = time.perf_counter()
-        state, metrics, _ = step(state, packed, lr)
-        jax.block_until_ready(metrics["loss"])
-        log(f"[{kind}] train compile+first step: {time.perf_counter() - t0:.1f}s")
+            def fwd_once():
+                _, _, box["eps"] = forward(
+                    state.params, state.scales, packed, box["eps"])
+                return box["eps"]
 
-        def train_once():
-            nonlocal state
-            state, metrics, _ = step(state, packed, lr)
-            return metrics["loss"]
+            fres = timed_windows(fwd_once, rtt_s=rtt)
+            log(f"[{kind}] fwd steady: median {fres['median_s']*1e3:.3f} ms "
+                f"best {fres['best_s']*1e3:.3f} ms "
+                f"({fres['iters']} chained/window) "
+                f"-> {n_real/fres['median_s']:.3e} trip+quad/s")
+            results["fwd_ms_median"] = fres["median_s"] * 1e3
 
-        best, med = timed_windows(train_once, iters=10)
+        # full training step (loss incl. -dE/dR forces, double backward,
+        # optimizer) — chained through state, value-fetch barrier per window
+        state, tres = measure_train_step(trainer, state, packed, lr, rtt, kind)
+        med = tres["median_s"]
         results[kind] = n_real / med
-        results[kind + "_best"] = n_real / best
+        results[kind + "_best"] = n_real / tres["best_s"]
         results[kind + "_n_real"] = n_real
-        log(f"[{kind}] train steady: median {med*1e3:.2f} ms best "
-            f"{best*1e3:.2f} ms -> {n_real/med:.3e} trip+quad/s (median)")
+        results[kind + "_ms"] = med * 1e3
+        log(f"[{kind}] -> {n_real/med:.3e} trip+quad/s (median)")
 
         if not args.skip_roofline:
             from gemnet_pytorch_tpu.perf.roofline import (
-                kernel_census, pallas_costs, speed_of_light, xla_costs,
+                kernel_census, pallas_costs, speed_of_light,
+                train_step_min_bytes, xla_costs,
             )
 
+            step = trainer.train_step_fn()
             census = kernel_census(step, state, packed, lr)
+            if on_tpu:
+                # the Pallas path is active on TPU ('auto' routing); a silent
+                # empty census voided round 3's floor — fail loudly instead
+                assert census, (
+                    "Pallas kernel census is EMPTY on the TPU path — the "
+                    "roofline floor would silently omit all segment-kernel "
+                    "FLOPs (VERDICT r3 item 3)")
             compiled = step.lower(state, packed, lr).compile()
+            try:
+                ma = compiled.memory_analysis()
+                code_mb = ma.generated_code_size_in_bytes / 1e6
+                results[kind + "_code_mb"] = code_mb
+                log(f"[{kind}] compiled code size: {code_mb:.1f} MB, "
+                    f"temp {ma.temp_size_in_bytes/1e6:.1f} MB, argument "
+                    f"{ma.argument_size_in_bytes/1e6:.1f} MB "
+                    "(re-upload hypothesis: per-call ms ~ code MB / "
+                    "60-90 MB/s in the degraded pool)")
+            except Exception as e:
+                log(f"memory_analysis unavailable: {e!r}")
             real_rows = {dims.n_triplets: g.n_triplets,
                          dims.n_quads: g.n_quads,
                          dims.n_intm: g.n_intm}
@@ -233,31 +292,30 @@ def main():
                          dims.n_int_edges: g.n_int_edges}
             rl = speed_of_light(
                 xla_costs(compiled), pallas_costs(census, real_rows, used_segs),
-                peaks,
+                peaks, min_bytes=train_step_min_bytes(state, packed),
             )
             rep = rl.report(med)
             ws = sorted({(c["kind"], c["W"], c["n"]) for c in census})
             log(f"[{kind}] pallas census: {len(census)} calls, W per (kind, "
                 f"rows): {ws}")
-            log(f"[{kind}] roofline: SOL {rep['sol_ms_lo']:.2f}-"
-                f"{rep['sol_ms_hi']:.2f} ms vs measured {rep['measured_ms']:.2f} "
+            log(f"[{kind}] roofline: SOL {rep['sol_ms_lo']:.3f}-"
+                f"{rep['sol_ms_hi']:.3f} ms vs measured {rep['measured_ms']:.3f} "
                 f"ms | SOL-fraction {rep['sol_fraction']:.2f} | MFU(bf16peak) "
-                f"{rep['mfu_bf16peak']*100:.1f}% | HBM util "
-                f"{rep['hbm_util']*100:.1f}%")
+                f"{rep['mfu_bf16peak']*100:.1f}% | HBM util lo "
+                f"{rep['hbm_util_lo']*100:.1f}% (accounting-hi "
+                f"{rep['hbm_util']*100:.1f}%)")
             if rep["below_floor"] and on_tpu:
-                log(f"[{kind}] ERROR: measured step time {rep['measured_ms']:.2f}"
+                log(f"[{kind}] ERROR: measured step time {rep['measured_ms']:.3f}"
                     f" ms is BELOW the physical model floor "
-                    f"{rep['sol_ms_lo']:.2f} ms — measurement artifact; do NOT "
+                    f"{rep['sol_ms_lo']:.3f} ms — measurement artifact; do NOT "
                     "trust this number")
             roof[kind] = {k: v for k, v in rep.items() if k != "census"}
 
         # optional: K steps per dispatch via lax.scan over stacked packed
         # batches (trainer.multi_step_fn; numerically identical to single
         # steps — tests/test_flat_opt.py). Opt-in: the scanned program is
-        # ~Kx bigger, and the pooled tunneled runtime intermittently enters
-        # a mode where every execution re-uploads the program binary
-        # (~60-90 MB/s), which punishes big programs size-proportionally
-        # (artifacts_r02_profile.md "degraded-pool mode").
+        # ~Kx bigger, and big programs pay per-call re-upload on the pooled
+        # tunneled runtime (artifacts_r02_tpu_session2.md).
         K = args.steps_per_call
         if K > 1:
             row = trainer.packer.pack(batch_np)
@@ -265,34 +323,73 @@ def main():
             multi = trainer.multi_step_fn()
             t0 = time.perf_counter()
             state, metrics, _ = multi(state, packed_k, lr)
-            jax.block_until_ready(metrics["loss"])
+            fetch_scalar(metrics["loss"])
             log(f"[{kind}] scan{K} compile+first call: "
                 f"{time.perf_counter() - t0:.1f}s")
+            sbox = {"state": state}
 
             def train_scan():
-                nonlocal state
-                state, m, _ = multi(state, packed_k, lr)
+                sbox["state"], m, _ = multi(sbox["state"], packed_k, lr)
                 return m["loss"]
 
-            b_s, m_s = timed_windows(train_scan, iters=3, windows=3)
-            results[kind + "_scan"] = n_real / (m_s / K)
-            log(f"[{kind}] train scan{K} steady: median {m_s/K*1e3:.2f} ms/step"
-                f" -> {n_real/(m_s/K):.3e} trip+quad/s")
+            sres = timed_windows(train_scan, windows=3, rtt_s=rtt)
+            state = sbox["state"]
+            results[kind + "_scan"] = n_real / (sres["median_s"] / K)
+            log(f"[{kind}] train scan{K} steady: "
+                f"{sres['median_s']/K*1e3:.3f} ms/step"
+                f" -> {n_real/(sres['median_s']/K):.3e} trip+quad/s")
         else:
             multi = packed_k = None
 
         if kind == "small" and args.profile:
-            # after the timed window: in-process tracing costs ~10x on the
+            # after the timed window: in-process tracing costs extra on the
             # tunneled runtime and must not skew the reported metric
+            step = trainer.train_step_fn()
             jax.profiler.start_trace(args.profile)
-            for _ in range(5):
-                train_once()
-            jax.block_until_ready(state.params)
+            st, m = state, None
+            for _ in range(10):
+                st, m, _ = step(st, packed, lr)
+            fetch_scalar(m["loss"])
             jax.profiler.stop_trace()
             log(f"profiler trace written to {args.profile}")
+            try:
+                from gemnet_pytorch_tpu.perf.trace import (
+                    step_device_ms, summarize,
+                )
+
+                log("trace device-module summary:\n" + summarize(args.profile))
+                mt = step_device_ms(args.profile, match="step")
+                if mt is not None:
+                    results["profile_step_ms"] = mt.mean_ms
+                    log(f"profiler DEVICE step time: {mt.mean_ms:.3f} ms "
+                        f"({mt.count} execs of {mt.name})")
+                else:
+                    log("WARNING: no 'step' module events in trace")
+            except Exception as e:  # parsing must never kill the bench
+                log(f"trace readback failed: {e!r}")
 
         # free the trainer's compiled step before the next (bigger) workload
+        step = None
         del trainer, state, step, variables, multi, packed_k
+
+    # ---- bf16 A/B (own consecutive window block — program switches on the
+    # tunneled runtime cost ~0.5-1.2 s and must not interleave) ----
+    if not args.skip_bf16 and cfg.compute_dtype == "float32":
+        bf16_cfg = ModelConfig.from_dict(
+            dict(cfg_dict, compute_dtype="bfloat16"))
+        bf16_model = make_model(bf16_cfg)
+        batch, n_real, g, dims, batch_np, _ = make_batch(bf16_cfg, "small")
+        variables = jax.jit(bf16_model.init)(jax.random.PRNGKey(0), batch)
+        trainer = Trainer(bf16_model, tcfg)
+        state = trainer.init_state(dict(variables))
+        packed = jnp.asarray(trainer.packer.pack(batch_np))
+        state, bres = measure_train_step(
+            trainer, state, packed, lr, rtt, "small/bf16")
+        results["bf16_agg_per_s"] = n_real / bres["median_s"]
+        results["bf16_ms"] = bres["median_s"] * 1e3
+        log(f"[small/bf16] -> {results['bf16_agg_per_s']:.3e} trip+quad/s "
+            f"(fp32 headline: {results.get('small', 0):.3e})")
+        del trainer, state, variables
 
     out = {
         "metric": "triplets+quads aggregated/sec/chip (GemNet-Q train step)",
@@ -302,24 +399,37 @@ def main():
         "unit": "agg/s/chip",
         "vs_baseline": results["small"] / BENCH_BASE,
         "best_agg_per_s": results["small_best"],
+        "small_ms_median": results.get("small_ms"),
         "fwd_ms_median": results.get("fwd_ms_median"),
-        "note": "value = MEDIAN of 5 windows (round-1 base was best-of-3; "
-                "pooled tile, ~1.5-2x session spread)",
+        "rtt_ms": rtt * 1e3,
+        "peaks_source": peaks_source,
+        "note": "value = MEDIAN of 5 chained value-fetch windows "
+                "(methodology rebuilt in round 4; rounds 1-3 used a barrier "
+                "that under-reports on this runtime — artifacts_r04_perf.md)",
     }
     if "small" in roof:
         r = roof["small"]
         out.update(
             sol_ms_lo=r["sol_ms_lo"], sol_ms_hi=r["sol_ms_hi"],
             sol_fraction=r["sol_fraction"], mfu_bf16peak=r["mfu_bf16peak"],
-            hbm_util=r["hbm_util"], below_floor=r["below_floor"],
+            hbm_util=r["hbm_util"], hbm_util_lo=r["hbm_util_lo"],
+            below_floor=r["below_floor"], pallas_calls=r["pallas_calls"],
         )
         if peaks:
             out["peaks"] = {k: float(v) for k, v in peaks.items()}
+    if "profile_step_ms" in results:
+        out["profile_step_ms"] = results["profile_step_ms"]
+    if "small_code_mb" in results:
+        out["code_size_mb"] = results["small_code_mb"]
+    if "bf16_agg_per_s" in results:
+        out["bf16_agg_per_s"] = results["bf16_agg_per_s"]
+        out["bf16_ms_median"] = results["bf16_ms"]
     if "small_scan" in results:
         out["steps_per_call"] = args.steps_per_call
         out["scan_agg_per_s"] = results["small_scan"]
     if "large" in results:
         out["large_agg_per_s"] = results["large"]
+        out["large_ms_median"] = results.get("large_ms")
         if "large" in roof:
             out["large_sol_fraction"] = roof["large"]["sol_fraction"]
             out["large_below_floor"] = roof["large"]["below_floor"]

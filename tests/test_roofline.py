@@ -97,3 +97,109 @@ def test_census_and_cost_bounds(synthetic_npz, monkeypatch):
     # an impossible measurement is flagged, not celebrated
     rep2 = rl.report(measured_seconds=sol_lo / 10)
     assert rep2["below_floor"]
+
+    # the floor's memory term is LIVE-BUFFER bytes (a true lower bound),
+    # never XLA's 'bytes accessed' accounting (hi-bound only) — r3 weak #4
+    from gemnet_pytorch_tpu.perf.roofline import train_step_min_bytes
+
+    mb = train_step_min_bytes(state, packed)
+    assert mb > 0
+    rl_mb = speed_of_light(xla, costs, min_bytes=mb)
+    assert rl_mb.sol_seconds("lo") <= rl_mb.sol_seconds("hi")
+    # forcing a huge min_bytes moves the lo floor; accounting bytes don't
+    rl_huge = speed_of_light(xla, costs, min_bytes=1e15)
+    assert rl_huge.sol_seconds("lo") > rl.sol_seconds("lo")
+    rep3 = rl_mb.report(sol_hi * 10)
+    assert 0 <= rep3["hbm_util_lo"] <= rep3["hbm_util"]
+
+
+def test_check_peaks_rejects_impossible_calibrations():
+    import pytest
+
+    from gemnet_pytorch_tpu.perf.roofline import (
+        V5E_DATASHEET, CalibrationError, check_peaks,
+    )
+
+    ok = {"mxu_bf16": 180e12, "mxu_f32_highest": 30e12, "hbm": 700e9}
+    check_peaks(ok)
+
+    # round-3 recorded values: 17x/14x datasheet, HIGHEST ~ bf16 — every one
+    # must now raise instead of being recorded
+    r3 = {"mxu_bf16": 3343e12, "mxu_f32_highest": 3010e12, "hbm": 11712e9}
+    with pytest.raises(CalibrationError):
+        check_peaks(r3)
+    with pytest.raises(CalibrationError):
+        check_peaks({**ok, "mxu_bf16": 1.3 * V5E_DATASHEET["mxu_bf16"]})
+    with pytest.raises(CalibrationError):
+        check_peaks({**ok, "hbm": 1.3 * V5E_DATASHEET["hbm"]})
+    with pytest.raises(CalibrationError):
+        check_peaks({**ok, "mxu_f32_highest": 0.9 * ok["mxu_bf16"]})
+
+
+def test_timed_windows_value_fetch_chaining():
+    """timed_windows must time the WHOLE chain: a chained jitted op of known
+    device cost cannot report (much) less than cost/iter."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.perf.timing import measure_rtt, timed_windows
+
+    rtt = measure_rtt()
+    assert rtt >= 0
+
+    @jax.jit
+    def step(x):
+        return (x @ x) * (1.0 / 256.0)
+
+    x = jnp.ones((256, 256), jnp.float32)
+    box = {"x": x}
+
+    def once():
+        box["x"] = step(box["x"])
+        return box["x"][0, 0]
+
+    res = timed_windows(once, windows=2, min_window_s=0.05)
+    assert res["iters"] >= 10
+    assert res["median_s"] > 0
+    # cross-check against a plain wall-clock of the same chained work
+    n = res["iters"]
+    y = x
+    t0 = time.perf_counter()
+    for _ in range(n):
+        y = step(y)
+    float(np.asarray(y[0, 0]))
+    wall = (time.perf_counter() - t0) / n
+    assert res["median_s"] < wall * 10 + 1e-3
+    assert res["median_s"] > wall / 10 - 1e-3
+
+
+def test_trace_readback_machinery(tmp_path):
+    """perf/trace.py parses a real jax.profiler trace. The CPU backend has no
+    '/device:' planes (device module times are asserted on TPU in
+    scripts/tpu_checks.py), so this covers discovery + proto parsing +
+    graceful empty summaries."""
+    import jax
+    import jax.numpy as jnp
+
+    from gemnet_pytorch_tpu.perf import trace as T
+
+    @jax.jit
+    def step(x):
+        return x @ x * 0.01
+
+    x = jnp.ones((128, 128))
+    step(x).block_until_ready()
+    jax.profiler.start_trace(str(tmp_path))
+    y = step(x)
+    float(np.asarray(y[0, 0]))
+    jax.profiler.stop_trace()
+
+    files = T.find_xspace_files(str(tmp_path))
+    assert files, "profiler wrote no .xplane.pb"
+    xs = T.load_xspace(files[-1])
+    assert len(xs.planes) > 0
+    mods = T.module_times(str(tmp_path))
+    assert isinstance(mods, dict)
+    assert isinstance(T.summarize(str(tmp_path)), str)
