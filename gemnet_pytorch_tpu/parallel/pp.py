@@ -31,8 +31,11 @@ is handled by JAX's varying-manual-axes machinery.
 
 Composition: stage parameters are a stacked pytree with a leading S axis
 sharded over `pp`; everything else (microbatch constants, preamble params)
-is replicated over `pp`, so a dp x pp mesh composes the same way as
-dp x ep (parallel/hybrid.py).
+is replicated over `pp`. dp x pp is IMPLEMENTED (pass dp_axis="dp" on a
+2-D (dp, pp) mesh: batches gain a leading DP dim sharded over dp; each dp
+row pipelines its own microbatches with all collectives on the pp axis)
+and asserted equal to the monolithic model — forward and gradients with
+the -dE/dR double backward — in tests/test_dp_pp.py.
 """
 
 from __future__ import annotations
@@ -198,10 +201,16 @@ def stack_microbatches(batches):
     return {kk: np.stack([b[kk] for b in batches]) for kk in keys}
 
 
-def _make_pipeline_fn(model, mesh: Mesh, num_micro: int, axis: str = AXIS):
+def _make_pipeline_fn(model, mesh: Mesh, num_micro: int, axis: str = AXIS,
+                      dp_axis: str | None = None):
     """shard_map'd (stage_vars, carry0, consts) -> (E_a, F_ca) over the
     GPipe schedule: M + S - 1 ticks; each tick = one neighbor ppermute of
-    the carried state + one stage application per device."""
+    the carried state + one stage application per device.
+
+    dp_axis: compose with data parallelism on a 2-D (dp, pp) mesh — carry0/
+    consts gain a leading DP dim sharded over dp (each dp row pipelines its
+    own microbatches; stage params replicate across dp, shard across pp;
+    all collectives stay on the pp axis)."""
     cfg = model.config
     S = mesh.shape[axis]
     assert cfg.num_blocks % S == 0, (cfg.num_blocks, S)
@@ -217,6 +226,10 @@ def _make_pipeline_fn(model, mesh: Mesh, num_micro: int, axis: str = AXIS):
     perm = [(i, i + 1) for i in range(S - 1)]
 
     def body(stage_vars, carry0, consts):
+        if dp_axis is not None:
+            # local (1, M, ...) slice of the dp-sharded stack
+            carry0 = jax.tree_util.tree_map(lambda x: x[0], carry0)
+            consts = jax.tree_util.tree_map(lambda x: x[0], consts)
         sv = jax.tree_util.tree_map(lambda x: x[0], stage_vars)
         s = jax.lax.axis_index(axis)
         _vary = lambda x: jax.lax.pcast(x, axis, to="varying")
@@ -267,41 +280,48 @@ def _make_pipeline_fn(model, mesh: Mesh, num_micro: int, axis: str = AXIS):
         last = s == S - 1
         outE = jax.lax.psum(jnp.where(last, outE, jnp.zeros_like(outE)), axis)
         outF = jax.lax.psum(jnp.where(last, outF, jnp.zeros_like(outF)), axis)
+        if dp_axis is not None:
+            return outE[None], outF[None]
         return outE, outF
 
+    batch_spec = P(dp_axis) if dp_axis is not None else P()
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(axis), P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(axis), batch_spec, batch_spec),
+        out_specs=(batch_spec, batch_spec),
         check_vma=True,
     )
 
 
-def make_pp_apply(model, mesh: Mesh, num_micro: int, axis: str = AXIS):
+def make_pp_apply(model, mesh: Mesh, num_micro: int, axis: str = AXIS,
+                  dp_axis: str | None = None):
     """jitted (pre_vars, stage_vars, batches, R) -> (E, F_raw) with leading
-    (num_micro,) axes; F_raw is the model's raw second output (per-atom for
-    direct_forces, per-edge scalar heads otherwise)."""
+    (num_micro,) axes — or (DP, num_micro,) under dp composition; F_raw is
+    the model's raw second output (per-atom for direct_forces, per-edge
+    scalar heads otherwise)."""
     cfg = model.config
-    pipeline = _make_pipeline_fn(model, mesh, num_micro, axis)
+    pipeline = _make_pipeline_fn(model, mesh, num_micro, axis, dp_axis)
+    vm = jax.vmap if dp_axis is None else (lambda f: jax.vmap(jax.vmap(f)))
 
     def forward(pre_vars, stage_vars, batches, R):
-        state = jax.vmap(
+        state = vm(
             lambda b, r: model.apply(pre_vars, b, r, return_state=True)
         )(batches, R)
         carry0 = {f: state[f] for f in ("h", "m", "E_a", "F_ca")}
         consts = {f: state[f] for f in ("basis", "rbf_out", "indices", "masks")}
         E_a, F_ca = pipeline(stage_vars, carry0, consts)
-        return jax.vmap(
+        return vm(
             lambda b, e, f, v: finalize_outputs(cfg, b, e, f, v)
         )(batches, E_a, F_ca, state["V_ca"])
 
     return forward
 
 
-def _make_ef_raw(model, mesh: Mesh, num_micro: int, axis: str = AXIS):
+def _make_ef_raw(model, mesh: Mesh, num_micro: int, axis: str = AXIS,
+                 dp_axis: str | None = None):
     cfg = model.config
-    forward = make_pp_apply(model, mesh, num_micro, axis)
+    forward = make_pp_apply(model, mesh, num_micro, axis, dp_axis)
 
     def fn(pre_vars, stage_vars, batches):
         R = batches["R"]
@@ -318,26 +338,31 @@ def _make_ef_raw(model, mesh: Mesh, num_micro: int, axis: str = AXIS):
             return jnp.sum(E), E
 
         dE_dR, E = jax.grad(energy_sum, has_aux=True)(R)
-        return E, -dE_dR[:, :, None, :]  # (M, nAtoms, 1, 3); num_targets == 1
+        # (M, nAtoms, 1, 3) — or (DP, M, nAtoms, 1, 3); num_targets == 1
+        return E, -dE_dR[..., None, :]
 
     return fn
 
 
-def make_pp_energy_and_forces(model, mesh: Mesh, num_micro: int, axis: str = AXIS):
+def make_pp_energy_and_forces(model, mesh: Mesh, num_micro: int, axis: str = AXIS,
+                              dp_axis: str | None = None):
     """jitted (pre_vars, stage_vars, batches) -> (E, F) per microbatch, with
     the variant-appropriate force path (-dE/dR differentiates through the
-    whole pipeline, ppermutes included)."""
-    return jax.jit(_make_ef_raw(model, mesh, num_micro, axis))
+    whole pipeline, ppermutes included). dp_axis: dp x pp on a 2-D mesh
+    (batches carry a leading DP dim sharded over dp)."""
+    return jax.jit(_make_ef_raw(model, mesh, num_micro, axis, dp_axis))
 
 
 def make_pp_loss_and_grad(model, mesh: Mesh, loss_fn, num_micro: int,
-                          axis: str = AXIS):
+                          axis: str = AXIS, dp_axis: str | None = None):
     """jitted (pre_vars, stage_vars, batches) -> (loss, (pre_grads,
     stage_grads)). loss_fn(E, F, batches) consumes the stacked microbatch
     outputs; gradients differentiate through the pipeline (double backward
     for -dE/dR force training), stage grads keep the stacked (S, ...)
-    layout sharded over `pp`."""
-    ef = _make_ef_raw(model, mesh, num_micro, axis)
+    layout sharded over `pp`. Under dp_axis the outputs carry (DP, M, ...)
+    and jax.grad outside the shard_map yields the dp-summed stage/pre
+    gradients of the union loss (same recipe as dp x halo)."""
+    ef = _make_ef_raw(model, mesh, num_micro, axis, dp_axis)
 
     def loss(pre_vars, stage_vars, batches):
         E, F = ef(pre_vars, stage_vars, batches)

@@ -92,15 +92,49 @@ def _split_targets(ref_batch):
     return inputs, targets
 
 
-def _run_trajectories(synthetic_npz, *, n_steps, eval_interval, loss="rmse",
-                      mve=False, agc=False, grad_clip_max=10.0,
-                      threshold_mode="rel", threshold=PLATEAU_THRESHOLD):
-    """Run reference and TPU-framework training loops in lockstep; returns a
-    dict of paired trajectories + final states for the asserts."""
-    import jax
+def _ref_cache_key(synthetic_npz, **kw):
+    """Disk-cache key for a reference trajectory: dataset content + model/HP
+    config + torch version (torch CPU math is deterministic per version)."""
+    import hashlib
+
+    import torch
+
+    h = hashlib.sha256()
+    with open(synthetic_npz, "rb") as f:
+        h.update(f.read())
+    h.update(repr(sorted(kw.items())).encode())
+    h.update(repr(sorted(HP.items())).encode())
+    h.update(repr(sorted(SMALL.items())).encode())
+    h.update(torch.__version__.encode())
+    return h.hexdigest()[:24]
+
+
+def _reference_trajectory(synthetic_npz, *, n_steps, eval_interval, loss,
+                          mve, agc, grad_clip_max, threshold_mode, threshold):
+    """Run the REFERENCE (torch) training loop and return everything the
+    parity asserts need. Disk-cached (tests/.ref_cache): the reference side
+    is a pure function of dataset + config + torch version, and re-running
+    it dominated the suite's wall time (round-3 verdict item 10). Delete
+    tests/.ref_cache to force recomputation."""
+    import pickle
+    from pathlib import Path
+
+    key = _ref_cache_key(
+        synthetic_npz, n_steps=n_steps, eval_interval=eval_interval, loss=loss,
+        mve=mve, agc=agc, grad_clip_max=grad_clip_max,
+        threshold_mode=threshold_mode, threshold=threshold,
+    )
+    cache = Path(__file__).resolve().parent / ".ref_cache" / f"traj_{key}.pkl"
+    if cache.exists():
+        try:
+            return pickle.loads(cache.read_bytes())
+        except Exception:
+            pass
+
     import torch
 
     add_reference_shims()
+    from gemnet.model.gemnet import GemNet as RefGemNet
     from gemnet.training.metrics import Metrics as _RefMetricsBase
     from gemnet.training.trainer import Trainer as RefTrainer
 
@@ -118,38 +152,24 @@ def _run_trajectories(synthetic_npz, *, n_steps, eval_interval, loss="rmse",
             }
             super().update_state(nsamples, **updates)
 
-    from gemnet_pytorch_tpu.compat import import_reference_state_dict
-    from gemnet_pytorch_tpu.compat.torch_import import map_reference_name
-    from gemnet_pytorch_tpu.models import make_model
-    from gemnet_pytorch_tpu.training import Metrics, Trainer
-    from gemnet_pytorch_tpu.training.schedules import PlateauState
-
     num_targets = 2 if mve else 1
-    from gemnet.model.gemnet import GemNet as RefGemNet
-
     torch.manual_seed(1234)
     ref_model = RefGemNet(
         num_targets=num_targets, scale_file=SCALE_FILE,
         triplets_only=True, direct_forces=False, **SMALL,
     )
-
-    train_idx = [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11], [12, 13, 14, 15]]
-    val_idx = [[16, 17, 18, 19]]
-    train_pairs = _batch_set(synthetic_npz, train_idx + val_idx)
-    val_pair = train_pairs.pop()
-
-    cfg = ModelConfig(
-        triplets_only=True, direct_forces=False, num_targets=num_targets, **SMALL
-    )
-    model = make_model(cfg)
-    import jax.numpy as jnp
-
-    jbatch = {k: jnp.asarray(v) for k, v in train_pairs[0][1].items()}
-    variables = dict(model.init(jax.random.PRNGKey(0), jbatch))
-    state_dict = {
+    init_state_dict = {
         k: v.detach().numpy().copy() for k, v in ref_model.state_dict().items()
     }
-    variables = import_reference_state_dict(state_dict, variables)
+
+    add_reference_shims()
+    from gemnet.training.data_container import DataContainer as RefContainer
+
+    ref_c = RefContainer(
+        synthetic_npz, cutoff=5.0, int_cutoff=10.0, triplets_only=True
+    )
+    ref_batches = [ref_c[idx] for idx in TRAIN_IDX + VAL_IDX]
+    val_batch = ref_batches.pop()
 
     ref_trainer = RefTrainer(
         ref_model,
@@ -172,6 +192,89 @@ def _run_trajectories(synthetic_npz, *, n_steps, eval_interval, loss="rmse",
     ref_trainer.plateau_callback.threshold = threshold
     ref_trainer.plateau_callback.threshold_mode = threshold_mode
 
+    ref_metrics = RefMetrics("train", ref_trainer.tracked_metrics)
+    ref_losses, ref_vals = [], []
+    for step in range(1, n_steps + 1):
+        ref_inputs = ref_batches[(step - 1) % len(ref_batches)]
+        inputs, targets = _split_targets(ref_inputs)
+        it = iter([(inputs, targets)])
+        ref_losses.append(float(ref_trainer.train_on_batch(it, ref_metrics)))
+        if step % eval_interval == 0:
+            # EMA-swapped validation + plateau decay, train_seml.py:343-385
+            ref_trainer.save_variable_backups()
+            ref_trainer.load_averaged_variables()
+            vm = RefMetrics("val", ref_trainer.tracked_metrics)
+            vi, vt = _split_targets(val_batch)
+            ref_val = float(ref_trainer.test_on_batch(iter([(vi, vt)]), vm))
+            ref_trainer.restore_variable_backups()
+            ref_trainer.decay_maybe(ref_val)
+            ref_vals.append(ref_val)
+
+    out = dict(
+        init_state_dict=init_state_dict,
+        ref_losses=np.array(ref_losses),
+        ref_vals=np.array(ref_vals),
+        ref_reduces=ref_trainer.plateau_callback._reduce_counter,
+        ref_lr_ratio=ref_trainer.schedulers.wrapped[0].base_lrs[0]
+        / HP["learning_rate"],
+        ref_after={
+            name: p.detach().numpy().copy()
+            for name, p in ref_model.named_parameters()
+        },
+        ref_ema={
+            name: s.detach().numpy().copy()
+            for (name, p), s in zip(
+                [(n, p) for n, p in ref_model.named_parameters()
+                 if p.requires_grad],
+                ref_trainer.exp_decay.shadow_params,
+            )
+        },
+    )
+    try:
+        cache.parent.mkdir(exist_ok=True)
+        cache.write_bytes(pickle.dumps(out))
+    except Exception:
+        pass
+    return out
+
+
+TRAIN_IDX = [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11], [12, 13, 14, 15]]
+VAL_IDX = [[16, 17, 18, 19]]
+
+
+def _run_trajectories(synthetic_npz, *, n_steps, eval_interval, loss="rmse",
+                      mve=False, agc=False, grad_clip_max=10.0,
+                      threshold_mode="rel", threshold=PLATEAU_THRESHOLD):
+    """Run the framework's training loop against the (disk-cached) reference
+    trajectory; returns a dict of paired trajectories for the asserts."""
+    import jax
+
+    ref = _reference_trajectory(
+        synthetic_npz, n_steps=n_steps, eval_interval=eval_interval, loss=loss,
+        mve=mve, agc=agc, grad_clip_max=grad_clip_max,
+        threshold_mode=threshold_mode, threshold=threshold,
+    )
+
+    from gemnet_pytorch_tpu.compat import import_reference_state_dict
+    from gemnet_pytorch_tpu.compat.torch_import import map_reference_name
+    from gemnet_pytorch_tpu.models import make_model
+    from gemnet_pytorch_tpu.training import Metrics, Trainer
+    from gemnet_pytorch_tpu.training.schedules import PlateauState
+
+    num_targets = 2 if mve else 1
+    train_pairs = _batch_set(synthetic_npz, TRAIN_IDX + VAL_IDX)
+    val_pair = train_pairs.pop()
+
+    cfg = ModelConfig(
+        triplets_only=True, direct_forces=False, num_targets=num_targets, **SMALL
+    )
+    model = make_model(cfg)
+    import jax.numpy as jnp
+
+    jbatch = {k: jnp.asarray(v) for k, v in train_pairs[0][1].items()}
+    variables = dict(model.init(jax.random.PRNGKey(0), jbatch))
+    variables = import_reference_state_dict(ref["init_state_dict"], variables)
+
     tcfg = TrainConfig(
         loss=loss, mve=mve, agc=agc, agc_compat_reference=agc, staircase=False,
         grad_clip_max=grad_clip_max,
@@ -187,17 +290,11 @@ def _run_trajectories(synthetic_npz, *, n_steps, eval_interval, loss="rmse",
         threshold_mode=threshold_mode,
     )
 
-    ref_metrics = RefMetrics("train", ref_trainer.tracked_metrics)
-    our_metrics = Metrics("train", trainer.tracked_metrics)
-    ref_losses, our_losses = [], []
-    ref_vals, our_vals = [], []
+    our_losses, our_vals = [], []
     lr_scale = 1.0
 
     for step in range(1, n_steps + 1):
-        ref_inputs, batch = train_pairs[(step - 1) % len(train_pairs)]
-        inputs, targets = _split_targets(ref_inputs)
-        it = iter([(inputs, targets)])
-        ref_losses.append(float(ref_trainer.train_on_batch(it, ref_metrics)))
+        _, batch = train_pairs[(step - 1) % len(train_pairs)]
         state, l = trainer.train_on_batch(state, batch, lr_scale)
         our_losses.append(float(l))
         # torch LambdaLR mechanics: a plateau reduce at this step's eval
@@ -207,34 +304,16 @@ def _run_trajectories(synthetic_npz, *, n_steps, eval_interval, loss="rmse",
         lr_scale = plateau.lr_scale
 
         if step % eval_interval == 0:
-            # EMA-swapped validation + plateau decay, train_seml.py:343-385
-            ref_trainer.save_variable_backups()
-            ref_trainer.load_averaged_variables()
-            vm = RefMetrics("val", ref_trainer.tracked_metrics)
-            vi, vt = _split_targets(val_pair[0])
-            ref_val = float(ref_trainer.test_on_batch(iter([(vi, vt)]), vm))
-            ref_trainer.restore_variable_backups()
-            ref_trainer.decay_maybe(ref_val)
-            ref_vals.append(ref_val)
-
             ovm = Metrics("val", trainer.tracked_metrics)
             our_val = trainer.test_on_batch(state, val_pair[1], ovm, use_ema=True)
             plateau.step(our_val)
             our_vals.append(float(our_val))
 
     # final-parameter deltas (mapped through the weight-import name map)
-    ref_after = {
-        name: p.detach().numpy().copy() for name, p in ref_model.named_parameters()
-    }
+    ref_after = ref["ref_after"]
     params_after = jax.device_get(trainer.params_tree(state))
     ema_after = jax.device_get(trainer.ema_tree(state))
-    ref_ema = {
-        name: s.detach().numpy().copy()
-        for (name, p), s in zip(
-            [(n, p) for n, p in ref_model.named_parameters() if p.requires_grad],
-            ref_trainer.exp_decay.shadow_params,
-        )
-    }
+    ref_ema = ref["ref_ema"]
     param_drift, ema_drift, n_checked = 0.0, 0.0, 0
     for name, ref_p in ref_after.items():
         mapped = map_reference_name(name.replace(".seq_energy.", ".layers."))
@@ -259,12 +338,11 @@ def _run_trajectories(synthetic_npz, *, n_steps, eval_interval, loss="rmse",
     assert n_checked > 30
 
     return dict(
-        ref_losses=np.array(ref_losses), our_losses=np.array(our_losses),
-        ref_vals=np.array(ref_vals), our_vals=np.array(our_vals),
-        ref_reduces=ref_trainer.plateau_callback._reduce_counter,
+        ref_losses=ref["ref_losses"], our_losses=np.array(our_losses),
+        ref_vals=ref["ref_vals"], our_vals=np.array(our_vals),
+        ref_reduces=ref["ref_reduces"],
         our_reduces=plateau.reduce_counter,
-        ref_lr_ratio=ref_trainer.schedulers.wrapped[0].base_lrs[0]
-        / HP["learning_rate"],
+        ref_lr_ratio=ref["ref_lr_ratio"],
         our_lr_scale=plateau.lr_scale,
         param_drift=param_drift, ema_drift=ema_drift,
     )
