@@ -18,6 +18,14 @@ import jax  # noqa: E402
 # JAX_PLATFORMS programmatically; pin tests to the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite rebuilds near-identical GemNet
+# programs across many test files, and CPU compiles of the full model are
+# tens of seconds each. Shared across xdist workers and across runs
+# (machine-local — gitignored).
+_jax_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _jax_cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
