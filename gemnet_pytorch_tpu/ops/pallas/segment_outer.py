@@ -254,15 +254,23 @@ def _fwd_kernel(splits_ref, ids_ref, a_ref, b_ref, out_ref,
         # one-hot over the block's segment band; rows outside contribute zero
         sel = (ids[None, :] == e0 + jax.lax.broadcasted_iota(
             jnp.int32, (W, RB), 0)).astype(sdt)
-        # stack all degrees into one MXU contraction:
-        # weighted[s*W+w, t] = sel[w,t] * a[s,t]
-        sel3 = jax.lax.broadcast_in_dim(sel, (S, W, RB), (1, 2))
-        a3 = jax.lax.broadcast_in_dim(a_s[cur, :S], (S, W, RB), (0, 2))
-        weighted = (sel3 * a3).reshape(S * W, RB)
+        # Z-form contraction (same as the backward's da path): materialize
+        # the (W·M, RB) selected-b operand once and contract the a-stream
+        # against it — out[s, (w,m)] = Σ_t a[s,t] · sel[w,t]·b[m,t]. One
+        # broadcast-multiply of W·M·RB elements (vs the round-3 form's two
+        # of S·W·RB) and an MXU output of W·M lanes (256 at quad shapes,
+        # fully tiled) instead of M (32, a quarter-tile).
+        # (scripts/kernel_bench.py sweeps this on hardware.)
+        selM = jax.lax.broadcast_in_dim(sel, (W, M, RB), (0, 2))
+        b3 = jax.lax.broadcast_in_dim(b_s[cur, :M], (W, M, RB), (1, 2))
+        z = (selM * b3).reshape(W * M, RB)
+        # acc/out stay (S, W·M): splitting the 2048-lane dim into (W, M)
+        # inside the kernel is an unsupported Mosaic relayout; the wrapper
+        # reshapes the contiguous (S, nSeg·M) output for free
         acc[...] += jax.lax.dot_general(
-            weighted, b_s[cur, :M], (((1,), (1,)), ((), ())),
+            a_s[cur, :S], z, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
-        ).reshape(S, W, M)
+        )
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -302,13 +310,13 @@ def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, seg_block=None,
             pl.BlockSpec(memory_space=pl.ANY),  # b
         ],
         out_specs=pl.BlockSpec(
-            (S, W, M), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
+            (S, W * M), lambda i, *_: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, Sp, RB), sdt),
             pltpu.VMEM((2, Mp, RB), sdt),
             pltpu.VMEM((2, 1, RB), jnp.int32),
-            pltpu.VMEM((S, W, M), jnp.float32),
+            pltpu.VMEM((S, W * M), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
@@ -316,16 +324,17 @@ def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, seg_block=None,
         _fwd_kernel, S=S, M=M, W=W, RB=RB,
         precision=_precision_for(sdt), sdt=sdt,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, n_segments, M), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S, n_segments * M), jnp.float32),
         interpret=interpret,
     )(splits, ids_k, a_k, b_k)
+    return out.reshape(S, n_segments, M)
 
 
 def _bwd_kernel(blo_ref, bhi_ref, ids_ref, a_ref, b_ref, cot_ref,
-                da_ref, db_ref, cot_s, da_acc, db_acc, sem,
+                da_ref, db_ref, cot_s, da_acc, db_acc, sems,
                 *, S, M, W, RB, precision, sdt):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -336,18 +345,34 @@ def _bwd_kernel(blo_ref, bhi_ref, ids_ref, a_ref, b_ref, cot_ref,
     b_c = b_ref[...]
     da_acc[...] = jnp.zeros_like(da_acc)
     db_acc[...] = jnp.zeros_like(db_acc)
+    blo = blo_ref[j]
+    bhi = bhi_ref[j]
+
+    # double-buffered (S, W·M) cotangent slices: the round-3 kernel issued
+    # start();wait() back-to-back per referenced block, paying full DMA
+    # latency on the critical path of every inner iteration; prefetching
+    # block w+1 while contracting block w hides it (the a/b/ids streams are
+    # already pipelined by their BlockSpecs)
+    def dma(w):
+        slot = jax.lax.rem(w, 2)
+        return pltpu.make_async_copy(
+            cot_ref.at[:, pl.ds(w * (W * M), W * M)], cot_s.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(blo < bhi)
+    def _():
+        dma(blo).start()
 
     def body(w, _):
-        # (S, W·M) cotangent slice for segments [w*W, (w+1)*W): a lane-
-        # aligned slice of the (S, nSeg·M) flattened view (W·M % 128 == 0)
-        cp = pltpu.make_async_copy(
-            cot_ref.at[:, pl.ds(w * (W * M), W * M)], cot_s, sem
-        )
-        cp.start()
-        cp.wait()
+        @pl.when(w + 1 < bhi)
+        def _():
+            dma(w + 1).start()
+
+        dma(w).wait()
         sel = (ids[None, :] == w * W + jax.lax.broadcasted_iota(
             jnp.int32, (W, RB), 0)).astype(sdt)  # (W, B)
-        cot2 = cot_s[:S]  # (S, W*M)
+        cot2 = cot_s[jax.lax.rem(w, 2), :S]  # (S, W*M)
         # da[s, t] = Σ_wm cot2[s, wm] · sel[w,t]·b[m,t]  (K = W·M)
         b3 = jax.lax.broadcast_in_dim(b_c[:M], (W, M, RB), (1, 2))
         sel_wm = jax.lax.broadcast_in_dim(sel, (W, M, RB), (0, 2))
@@ -366,7 +391,7 @@ def _bwd_kernel(blo_ref, bhi_ref, ids_ref, a_ref, b_ref, cot_ref,
         db_acc[:M] += jnp.sum(sel_f * g, axis=0)  # (M, B)
         return 0
 
-    jax.lax.fori_loop(blo_ref[j], bhi_ref[j], body, 0)
+    jax.lax.fori_loop(blo, bhi, body, 0)
     da_ref[...] = da_acc[...].astype(da_ref.dtype)
     db_ref[...] = db_acc[...].astype(db_ref.dtype)
 
@@ -429,10 +454,10 @@ def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, seg_block=None,
             pl.BlockSpec((Mp, RB), lambda j, *_: (0, j)),  # db
         ),
         scratch_shapes=[
-            pltpu.VMEM((Sp, W * M), cot_k.dtype),
+            pltpu.VMEM((2, Sp, W * M), cot_k.dtype),
             pltpu.VMEM((Sp, RB), jnp.float32),
             pltpu.VMEM((Mp, RB), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(

@@ -51,6 +51,14 @@ def bench_shape(name, n, S, M, n_segments, rows_real, seg_blocks, windows=3,
     print(f"\n# {name}: n={n} S={S} M={M} nseg={n_segments} "
           f"(real rows {rows_real})", file=sys.stderr)
 
+    # K kernel calls inside ONE jitted program (lax.scan with a data
+    # dependence through the b-stream): per-call dispatch on the tunneled
+    # runtime is ~2-7 ms — a per-dispatch chain would measure only that
+    # (the first version of this script did exactly that). The b-side
+    # restaging inside the loop adds ~0.1 ms of loop-variant transpose
+    # traffic, identical across variants.
+    K = 16
+
     for dtype_name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         aj = jnp.asarray(a, dt)
         bj = jnp.asarray(b, dt)
@@ -62,54 +70,46 @@ def bench_shape(name, n, S, M, n_segments, rows_real, seg_blocks, windows=3,
                 continue
 
             @jax.jit
-            def fwd(a_, b_):
-                return so.segment_outer_sum(
-                    a_, b_, idsj, spl, n_segments, "pallas", W)
+            def fwd_loop(a_, b_):
+                def body(c, _):
+                    out = so.segment_outer_sum(
+                        a_, c, idsj, spl, n_segments, "pallas", W)
+                    return c + out[0, 0, 0].astype(c.dtype) * 0, ()
+
+                y, _ = jax.lax.scan(body, b_, None, length=K)
+                return y[0, 0]
 
             @jax.jit
-            def bwd(c_, a_, b_):
-                return so.segment_gather_contract(
-                    c_, a_, b_, idsj, spl, "pallas", W)
+            def bwd_loop(c0, a_, b_):
+                def body(c, _):
+                    da, db = so.segment_gather_contract(
+                        c, a_, b_, idsj, spl, "pallas", W)
+                    return c + da[0, 0].astype(c.dtype) * 0, ()
 
-            try:
-                out = fwd(aj, bj)
-                fetch_scalar(out[0, 0, 0])
-            except Exception as e:
-                print(f"{dtype_name} W={W:3d} fwd: FAILED {type(e).__name__}: "
-                      f"{str(e)[:90]}", file=sys.stderr)
-                continue
-            best = float("inf")
-            for _ in range(windows):
-                t0 = time.perf_counter()
-                x = aj
-                for _ in range(iters):
-                    out = fwd(x, bj)
-                    # chain: fold a scalar of the output back into the stream
-                    x = x + out[0, 0, 0].astype(x.dtype) * 0
-                fetch_scalar(out[0, 0, 0])
-                best = min(best, (time.perf_counter() - t0) / iters)
-            flops = 2.0 * S * W * M * n
-            print(f"{dtype_name} W={W:3d} fwd: {best*1e3:7.3f} ms "
-                  f"({flops/best/1e12:5.1f} TF/s one-hot)", file=sys.stderr)
+                y, _ = jax.lax.scan(body, c0, None, length=K)
+                return y[0, 0, 0]
 
-            try:
-                da, db = bwd(cj, aj, bj)
-                fetch_scalar(da[0, 0])
-            except Exception as e:
-                print(f"{dtype_name} W={W:3d} bwd: FAILED {type(e).__name__}: "
-                      f"{str(e)[:90]}", file=sys.stderr)
-                continue
-            best = float("inf")
-            for _ in range(windows):
-                t0 = time.perf_counter()
-                c_ = cj
-                for _ in range(iters):
-                    da, db = bwd(c_, aj, bj)
-                    c_ = c_ + da[0, 0].astype(c_.dtype) * 0
-                fetch_scalar(da[0, 0])
-                best = min(best, (time.perf_counter() - t0) / iters)
-            print(f"{dtype_name} W={W:3d} bwd: {best*1e3:7.3f} ms",
-                  file=sys.stderr)
+            for tag, call, args in (
+                ("fwd", fwd_loop, (aj, bj)),
+                ("bwd", bwd_loop, (cj, aj, bj)),
+            ):
+                try:
+                    fetch_scalar(call(*args))
+                except Exception as e:
+                    print(f"{dtype_name} W={W:3d} {tag}: FAILED "
+                          f"{type(e).__name__}: {str(e)[:90]}", file=sys.stderr)
+                    continue
+                best = float("inf")
+                for _ in range(windows):
+                    t0 = time.perf_counter()
+                    fetch_scalar(call(*args))
+                    best = min(best, (time.perf_counter() - t0) / K)
+                extra = ""
+                if tag == "fwd":
+                    flops = 2.0 * S * W * M * n
+                    extra = f" ({flops/best/1e12:5.1f} TF/s one-hot)"
+                print(f"{dtype_name} W={W:3d} {tag}: {best*1e3:7.3f} ms{extra}",
+                      file=sys.stderr)
 
 
 def main():
