@@ -81,7 +81,10 @@ import jax
 import jax.numpy as jnp
 
 ROW_BLOCK = 512  # rows per DMA chunk / backward grid step
-SEG_BLOCK_CHOICES = (8, 16, 32)  # candidate segment-block widths, narrow first
+SEG_BLOCK_CHOICES = (4, 8, 16, 32)  # admissible segment-block widths
+_HEURISTIC_CHOICES = (8, 16, 32)  # widths the density heuristic considers (4
+# doubles the forward grid's step count for marginal FLOP savings — only
+# reachable as an explicit override / the backward's own choice)
 LANE = 128
 
 Implementation = Literal["auto", "pallas", "xla"]
@@ -115,25 +118,31 @@ def _choose_blocks(
         assert seg_block in SEG_BLOCK_CHOICES, seg_block
         return seg_block, ROW_BLOCK
     rows_per_seg = max(n_rows // max(n_segments, 1), 1)
-    for w in SEG_BLOCK_CHOICES:
+    for w in _HEURISTIC_CHOICES:
         if w * rows_per_seg >= ROW_BLOCK // 2:
             return w, ROW_BLOCK
-    return SEG_BLOCK_CHOICES[-1], ROW_BLOCK
+    return _HEURISTIC_CHOICES[-1], ROW_BLOCK
 
 
 def _bwd_seg_block(
     n_rows: int, n_segments: int, M: int, seg_block: int | None = None
 ) -> int | None:
-    """Backward W: heuristic W rounded up so W·M is lane-aligned (the
-    cotangent DMA slices the lane dim of the (S, nSeg·M) view). None if no
-    admissible W divides n_segments (caller falls back to XLA)."""
-    w, _ = _choose_blocks(n_rows, n_segments, seg_block)
-    w = max(w, LANE // math.gcd(M, LANE))
-    while w <= n_segments and (w * M) % LANE:
-        w *= 2
-    if w > n_segments or n_segments % w:
-        return None
-    return w
+    """Backward W: chosen INDEPENDENTLY of the forward's width. The round-4
+    hardware sweep (scripts/kernel_bench.py) shows the backward favors the
+    narrowest admissible block — its per-block costs (the (S, W·M) cotangent
+    DMA and the (W·M, RB) db intermediate) scale with W while its matmul
+    K-dims stay long either way: quad shapes (M=32) run 3.10 ms at W=4 vs
+    3.56 at the forward's W=8; trip shapes (M=64) 2.92-3.00 ms at W=4-8 vs
+    3.28 at the forward's W=32. First W in SEG_BLOCK_CHOICES that is
+    lane-aligned ((W·M) % 128 == 0, the cotangent DMA slices the lane dim of
+    the (S, nSeg·M) view) and divides n_segments; None if none does (caller
+    falls back to XLA). The fwd-oriented `seg_block` override is ignored."""
+    del seg_block
+    for w in SEG_BLOCK_CHOICES:
+        if (w >= LANE // math.gcd(M, LANE) and (w * M) % LANE == 0
+                and w <= n_segments and n_segments % w == 0):
+            return w
+    return None
 
 
 def _round_up(x: int, m: int) -> int:

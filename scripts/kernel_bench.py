@@ -124,9 +124,9 @@ def main():
     if args.space in ("quad", "both"):
         # bench small-workload quad shapes: 192512 rows, S=56 (49 padded),
         # M=32, 3072 int-edge segments (the (49,3072,32) output family)
-        bench_shape("quad", 192512, 49, 32, 3072, 182904, (8, 16, 32))
+        bench_shape("quad", 192512, 49, 32, 3072, 182904, (4, 8, 16, 32))
     if args.space in ("trip", "both"):
-        bench_shape("trip", 25600, 16, 64, 3072, 23996, (8, 16, 32))
+        bench_shape("trip", 25600, 16, 64, 3072, 23996, (4, 8, 16, 32))
 
 
 if __name__ == "__main__":
