@@ -109,14 +109,19 @@ def quadruplet_angles_halo(
     - angle_abd (feeding the circular basis) is returned for the local
       intm_db rows only.
     """
-    # c -> a <- b on local intm_ca rows
+    # c -> a <- b on local intm_ca rows (bundled gather: see
+    # quadruplet_angles — per-row gather/scatter cost is width-independent)
     Rc = R[id_c[id4_reduce_intm_ca]]
     Ra = R[id_a[id4_reduce_intm_ca]]
     Rb = R[id4_int_b[id4_reduce_intm_ab]]
     R_ac = Rc - Ra
     R_ab = Rb - Ra
-    angle_cab = neighbor_angles(R_ab, R_ac)[id4_reduce_cab]  # -> quad space
-    R_ac_proj = vector_rejection(R_ac, R_ab)[id4_reduce_cab]
+    packed = jnp.concatenate(
+        [neighbor_angles(R_ab, R_ac)[:, None], vector_rejection(R_ac, R_ab)],
+        axis=1,
+    )[id4_reduce_cab]  # -> quad space
+    angle_cab = packed[:, 0]
+    R_ac_proj = packed[:, 1:]
 
     # a - b <- d on the EXTENDED intm_db space
     Ra = R[intm_ext_a_atom]
@@ -162,8 +167,17 @@ def quadruplet_angles(
     Rb = R[id4_int_b[id4_reduce_intm_ab]]
     R_ac = Rc - Ra
     R_ab = Rb - Ra
-    angle_cab = neighbor_angles(R_ab, R_ac)[id4_reduce_cab]  # -> quad space
-    R_ac_proj = vector_rejection(R_ac, R_ab)[id4_reduce_cab]
+    # one (n_intm, 4) gather for [angle_cab ; R_ac_proj] instead of separate
+    # (n,) and (n, 3) gathers with the same index: TPU gather/scatter cost is
+    # per-ROW, width-independent, and the 1-wide variants are the slowest of
+    # all (~1.4-1.7 ms each at bench quad shapes, scripts/scatter_probe.py);
+    # the VJP collapses two quad->intm scatter-adds into one the same way
+    packed = jnp.concatenate(
+        [neighbor_angles(R_ab, R_ac)[:, None], vector_rejection(R_ac, R_ab)],
+        axis=1,
+    )[id4_reduce_cab]  # -> quad space
+    angle_cab = packed[:, 0]
+    R_ac_proj = packed[:, 1:]
 
     # dihedral c -> a - b <- d
     angle_cabd = neighbor_angles(R_ac_proj, R_bd_proj)
