@@ -27,6 +27,7 @@ from __future__ import annotations
 import math
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy import special as sp_special
@@ -227,11 +228,25 @@ class SphericalBasis(_BesselEnvBase):
     def __init__(self, num_spherical, num_radial, cutoff, envelope_exponent=5):
         super().__init__(num_spherical, num_radial, cutoff, envelope_exponent)
         self.degree_in_order = np.arange(num_spherical) * 2 + 1
+        # repeat-by-degree as a constant 0/1 matrix: Rep[k, l] = 1 iff row k
+        # of the (S^2, R) layout belongs to degree l. jnp.repeat lowers to a
+        # gather whose VJP is a scatter in the hostile (E, S, R) tiling
+        # (~1.6 ms/step at bench shapes in the round-4 trace); the matmul
+        # form transposes to another tiny matmul instead.
+        rep = np.zeros((self.num_spherical**2, num_spherical), np.float32)
+        rep[np.arange(self.num_spherical**2),
+            np.repeat(np.arange(num_spherical), self.degree_in_order)] = 1.0
+        self._degree_rep = rep
 
     def rbf_env3(self, d: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         """(nEdges, num_spherical**2, num_radial)."""
         rbf = self.rbf_env(d, mask)  # (E, S, R)
-        return jnp.repeat(rbf, self.degree_in_order, axis=1, total_repeat_length=self.num_spherical**2)
+        # HIGHEST precision: each output element is exactly one input (a
+        # single 1-weighted term), so the repeat stays bit-exact in fp32
+        return jnp.einsum(
+            "kl,elr->ekr", jnp.asarray(self._degree_rep, rbf.dtype), rbf,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def sbf(self, alpha: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
         """Real spherical harmonics Y_lm(alpha, theta): (N,) -> (N, S**2).

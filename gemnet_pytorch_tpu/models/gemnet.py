@@ -163,13 +163,22 @@ class GemNet(nn.Module):
                     batch["id4_expand_intm_ab"], batch["id4_reduce_intm_ab"],
                 )
             # dense circular basis on the intermediate d->b space
-            # (reference gemnet.py:517, basis_layers.py:133-147)
+            # (reference gemnet.py:517, basis_layers.py:133-147).
+            # The row gather runs on the FLAT (IE, S·R) view: gathering the
+            # (·, S, R) 3-D layout makes the VJP a scatter in a hostile
+            # tiling (~1.6 ms/step at bench shapes, round-4 trace) while the
+            # 2-D form scatters lane-tiled rows; the reshape back for the
+            # sph4 broadcast transposes to a reshape, not a scatter.
             cbf4_env = self.cbf_basis.rbf_env(D_ab, masks["int_edge"])  # (IE, S, R)
-            cbf4_env_g = cbf4_env[batch["id4_expand_intm_ab"]]  # (intm, S, R)
+            cbf4_env_g = cbf4_env.reshape(cbf4_env.shape[0], -1)[
+                batch["id4_expand_intm_ab"]
+            ]  # (intm, S*R)
             sph4 = self.cbf_basis.cbf(phi_abd)  # (intm, S)
-            cbf4_dense = (cbf4_env_g * sph4[:, :, None]).reshape(
-                cbf4_env_g.shape[0], -1
-            )  # (intm, S*R)
+            n_intm_rows = cbf4_env_g.shape[0]
+            cbf4_dense = (
+                cbf4_env_g.reshape(n_intm_rows, sph4.shape[1], -1)
+                * sph4[:, :, None]
+            ).reshape(n_intm_rows, -1)  # (intm, S*R)
             # efficient spherical basis over quadruplets
             sbf_env = self.sbf_basis.rbf_env3(D_ca, edge_mask)  # (E, S^2, R)
             sph_sbf = self.sbf_basis.sbf(phi_cab, theta_cabd)  # (Q, S^2)
