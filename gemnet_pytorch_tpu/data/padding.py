@@ -224,6 +224,14 @@ def pad_batch(
     out["Kidx4"] = _pad1(g.Kidx4, dims.n_quads)
     out["quad_mask"] = (np.arange(dims.n_quads) < g.n_quads).astype(np.bool_)
     out["quad_row_splits"] = _row_splits(out["id4_reduce_ca"], P)
+    # sort metadata for the quad-space expand gathers: their VJPs then run
+    # as sorted Pallas segment sums instead of serial XLA scatter-adds
+    # (ops/pallas/expand_gather.py). Computed over the PADDED columns so the
+    # summed terms exactly match the scatter path's.
+    for src, tag in (("id4_expand_abd", "abd"), ("id4_reduce_cab", "cab")):
+        perm = np.argsort(out[src], kind="stable").astype(np.int32)
+        out[f"quad_{tag}_perm"] = perm
+        out[f"quad_{tag}_sorted"] = out[src][perm].astype(np.int32)
     out["kmax4_static"] = np.zeros(dims.kmax4, np.bool_)
     if dims.seg_block4 and P % dims.seg_block4 == 0:
         out["quad_seg_block"] = np.zeros(dims.seg_block4, np.bool_)

@@ -156,11 +156,18 @@ class GemNet(nn.Module):
                     batch["id4_expand_abd"],
                 )
             else:
+                sort_ok = ("quad_abd_perm" in batch and
+                           batch["quad_abd_perm"].shape
+                           == batch["id4_expand_abd"].shape)
                 phi_cab, phi_abd, theta_cabd = geometry.quadruplet_angles(
                     R, id_c, id_a, id4_int_b, id4_int_a,
                     batch["id4_expand_abd"], batch["id4_reduce_cab"],
                     batch["id4_expand_intm_db"], batch["id4_reduce_intm_ca"],
                     batch["id4_expand_intm_ab"], batch["id4_reduce_intm_ab"],
+                    abd_sort=(batch["quad_abd_perm"], batch["quad_abd_sorted"])
+                    if sort_ok else None,
+                    cab_sort=(batch["quad_cab_perm"], batch["quad_cab_sorted"])
+                    if sort_ok else None,
                 )
             # dense circular basis on the intermediate d->b space
             # (reference gemnet.py:517, basis_layers.py:133-147).
@@ -236,6 +243,14 @@ class GemNet(nn.Module):
             )
             if "quad_seg_block" in batch:
                 indices["quad_seg_block"] = batch["quad_seg_block"]
+            # sort metadata for the sorted-VJP expand gather (padding.py);
+            # absent/mismatched (halo/ep re-sliced rows) -> plain gather
+            if ("quad_abd_perm" in batch and batch["quad_abd_perm"].shape
+                    == batch["id4_expand_abd"].shape):
+                indices["quad_abd_sort"] = (
+                    batch["quad_abd_perm"], batch["quad_abd_sorted"])
+                indices["quad_cab_sort"] = (
+                    batch["quad_cab_perm"], batch["quad_cab_sorted"])
         if cfg.ep_halo:
             indices.update(
                 edge_halo_send_idx=batch["edge_halo_send_idx"],

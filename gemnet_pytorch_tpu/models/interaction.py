@@ -43,7 +43,7 @@ class QuadrupletInteraction(nn.Module):
     @nn.compact
     def __call__(self, m, rbf, cbf, sbf, quad_row_splits, id_swap, id4_reduce_ca,
                  id4_expand_intm_db, id4_expand_abd, masks, halo=None,
-                 stage="all", x_pre=None):
+                 stage="all", x_pre=None, abd_sort=None):
         # Two-stage calling convention (halo comm/compute overlap): the
         # prelude ends exactly where the intm-row activations become the
         # payload of the halo all_to_all; InteractionBlock issues both
@@ -80,7 +80,18 @@ class QuadrupletInteraction(nn.Module):
                 x_db = halo_extend(x_db, *halo["intm_send"], halo["axis"])
         else:
             x_db = x_pre  # prelude output, halo-extended by the caller
-        x_db = x_db[id4_expand_abd]
+        if abd_sort is not None:
+            # sorted-VJP gather: the backward runs as a Pallas sorted
+            # segment sum instead of a serial scatter-add
+            # (ops/pallas/expand_gather.py)
+            from ..ops.pallas.expand_gather import expand_gather
+
+            x_db = expand_gather(
+                x_db, id4_expand_abd, abd_sort[0], abd_sort[1],
+                x_db.shape[0], self.implementation,
+            )
+        else:
+            x_db = x_db[id4_expand_abd]
         rbf_W1, sph_rows = sbf
         x = EfficientInteractionBilinear(
             self.emb_size_quad, rbf_W1.shape[1], self.emb_size_bilinear,
@@ -253,6 +264,7 @@ class InteractionBlock(nn.Module):
                 indices["id4_reduce_ca"], indices["id4_expand_intm_db"],
                 indices["id4_expand_abd"], masks,
             )
+            q_kwargs = {"abd_sort": indices.get("quad_abd_sort")}
 
         if halo is not None:
             # Comm/compute overlap: issue each space's halo all_to_all as
@@ -267,15 +279,15 @@ class InteractionBlock(nn.Module):
             x_ba = trip(*t_args, stage="prelude")
             x_ba = halo_extend(x_ba, *halo["edge_send"], halo["axis"])
             if quad is not None:
-                x_db = quad(*q_args, stage="prelude")
+                x_db = quad(*q_args, stage="prelude", **q_kwargs)
                 x_db = halo_extend(x_db, *halo["intm_send"], halo["axis"])
             x3 = trip(*t_args, stage="finish", x_pre=x_ba)
             if quad is not None:
-                x4 = quad(*q_args, stage="finish", x_pre=x_db)
+                x4 = quad(*q_args, stage="finish", x_pre=x_db, **q_kwargs)
         else:
             x3 = trip(*t_args)
             if quad is not None:
-                x4 = quad(*q_args)
+                x4 = quad(*q_args, **q_kwargs)
 
         if not self.triplets_only:
             x = (x_ca_skip + x3 + x4) * _INV_SQRT3

@@ -136,6 +136,16 @@ def quadruplet_angles_halo(
     return angle_cab, angle_abd, angle_cabd
 
 
+def _sorted_gather(x, idx, sort, implementation="auto"):
+    """x[idx], via the sorted-VJP expand gather when sort=(perm, sorted_ids)
+    metadata is available (ops/pallas/expand_gather.py)."""
+    if sort is None:
+        return x[idx]
+    from .pallas.expand_gather import expand_gather
+
+    return expand_gather(x, idx, sort[0], sort[1], x.shape[0], implementation)
+
+
 def quadruplet_angles(
     R: jnp.ndarray,
     id_c: jnp.ndarray,
@@ -148,6 +158,8 @@ def quadruplet_angles(
     id4_reduce_intm_ca: jnp.ndarray,
     id4_expand_intm_ab: jnp.ndarray,
     id4_reduce_intm_ab: jnp.ndarray,
+    abd_sort=None,
+    cab_sort=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(angle_cab, angle_abd, angle_cabd) for quadruplet message passing
     (reference gemnet.py:334-418). angle_abd lives on the intermediate-db
@@ -159,7 +171,9 @@ def quadruplet_angles(
     R_ba = Ra - Rb
     R_bd = Rd - Rb
     angle_abd = neighbor_angles(R_ba, R_bd)
-    R_bd_proj = vector_rejection(R_bd, R_ba)[id4_expand_abd]  # -> quad space
+    R_bd_proj = _sorted_gather(
+        vector_rejection(R_bd, R_ba), id4_expand_abd, abd_sort
+    )  # -> quad space
 
     # c -> a <- b (intermediate ca space)
     Rc = R[id_c[id4_reduce_intm_ca]]
@@ -172,10 +186,13 @@ def quadruplet_angles(
     # per-ROW, width-independent, and the 1-wide variants are the slowest of
     # all (~1.4-1.7 ms each at bench quad shapes, scripts/scatter_probe.py);
     # the VJP collapses two quad->intm scatter-adds into one the same way
-    packed = jnp.concatenate(
-        [neighbor_angles(R_ab, R_ac)[:, None], vector_rejection(R_ac, R_ab)],
-        axis=1,
-    )[id4_reduce_cab]  # -> quad space
+    packed = _sorted_gather(
+        jnp.concatenate(
+            [neighbor_angles(R_ab, R_ac)[:, None],
+             vector_rejection(R_ac, R_ab)], axis=1,
+        ),
+        id4_reduce_cab, cab_sort,
+    )  # -> quad space
     angle_cab = packed[:, 0]
     R_ac_proj = packed[:, 1:]
 

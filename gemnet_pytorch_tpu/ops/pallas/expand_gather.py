@@ -1,0 +1,230 @@
+"""Expand gather with a sorted-reduction VJP — kills the quad-space
+scatter-adds.
+
+The quad pipeline gathers intm-space rows to quadruplet rows
+(`x[id4_expand_abd]`, `packed[id4_reduce_cab]`, models/interaction.py +
+ops/geometry.py). XLA's gather forward is fine (~0.3 ms at bench shapes),
+but its VJP is a scatter-add whose cost on TPU is per-ROW and serial
+(~1.3-1.7 ms per instance; 8-12 instances per train step after the double
+backward — scripts/scatter_probe.py, artifacts_r04_perf.md).
+
+`expand_gather(table, idx, perm, sorted_ids)` computes the same `table[idx]`
+but carries HOST-precomputed sort metadata (data/padding.py):
+
+    perm       : int32[n_rows], stable argsort of idx
+    sorted_ids : int32[n_rows], idx[perm] (ascending)
+
+so the VJP becomes  permute-the-cotangent + SORTED segment sum, and the
+sorted segment sum runs as a Pallas kernel: grid over wide blocks of W
+segment ids, rows streamed once, a (W, RB) one-hot MXU contraction per
+chunk — embarrassingly parallel where the scatter was serial. The segsum's
+own VJP is `expand_gather` again (dx[j] = g[idx[j]]), closing the recursion
+for the force path's double backward.
+
+Numerics: products are 0/1-weighted (exact); accumulation fp32 on the MXU
+at HIGHEST precision. Results equal the scatter-add path up to fp32
+summation order (different reassociation of the same terms).
+
+Callers fall back to a plain `table[idx]` when the sort metadata is absent
+or shape-mismatched (halo/ep partitioned batches re-slice the row spaces,
+invalidating global perms — parallel/ep.py replicates unknown keys).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .segment_outer import ROW_BLOCK, _round_up, _use_pallas
+
+
+def _log(kind: str, **kw):
+    from . import segment_outer as so
+
+    if so.TRACE_LOG is not None:
+        so.TRACE_LOG.append(dict(kind=kind, **kw))
+
+
+def _pick_w(n_segments: int) -> int | None:
+    for w in (512, 256, 128):
+        if n_segments % w == 0 and n_segments >= w:
+            return w
+    return None
+
+
+def _segsum_xla(xp, sorted_ids, n_segments):
+    return jax.ops.segment_sum(
+        xp.astype(jnp.float32), sorted_ids, num_segments=n_segments,
+        indices_are_sorted=True,
+    )
+
+
+def _segsum_pallas(xp, sorted_ids, n_segments, interpret=False):
+    """Sorted segment sum: xp (n, M) rows ordered by sorted_ids -> (nseg, M)
+    fp32. Grid over blocks of W segment ids; each step streams its row range
+    in double-buffered ROW_BLOCK chunks and reduces with one (W, RB) one-hot
+    MXU contraction per chunk (lanes = W, fully tiled)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, M = xp.shape
+    W = _pick_w(n_segments)
+    assert W is not None
+    RB = ROW_BLOCK
+    sdt = jnp.dtype(xp.dtype)
+    if sdt != jnp.bfloat16:
+        sdt = jnp.dtype(jnp.float32)
+    sub = 16 if sdt == jnp.bfloat16 else 8
+    Mp = _round_up(M, sub)
+    _log("segsum", n=n, S=1, M=M, n_segments=n_segments, W=W, RB=RB,
+         dtype=str(sdt))
+    pad = RB
+    x_k = jnp.zeros((Mp, n + pad), sdt).at[:M, :n].set(xp.T.astype(sdt))
+    ids_k = jnp.concatenate(
+        [sorted_ids.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**30))]
+    ).reshape(1, -1)
+    bounds = jnp.arange(0, n_segments + W, W, dtype=jnp.int32)
+    splits = jnp.searchsorted(
+        sorted_ids.astype(jnp.int32), bounds, side="left"
+    ).astype(jnp.int32)
+
+    precision = (
+        jax.lax.Precision.HIGHEST if sdt == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def kernel(splits_ref, ids_ref, x_ref, out_ref, x_s, ids_s, acc, sems):
+        i = pl.program_id(0)
+        e0 = i * W
+        start = splits_ref[i]
+        end = splits_ref[i + 1]
+        start_al = (start // RB) * RB
+        n_chunks = pl.cdiv(end - start_al, RB)
+        acc[...] = jnp.zeros_like(acc)
+
+        def dmas(slot, j):
+            row0 = pl.multiple_of(start_al + j * RB, RB)
+            return (
+                pltpu.make_async_copy(
+                    x_ref.at[:, pl.ds(row0, RB)], x_s.at[slot], sems.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    ids_ref.at[:, pl.ds(row0, RB)], ids_s.at[slot],
+                    sems.at[slot, 1]
+                ),
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            for cp in dmas(0, 0):
+                cp.start()
+
+        def body(j, _):
+            cur = jax.lax.rem(j, 2)
+            nxt = jax.lax.rem(j + 1, 2)
+
+            @pl.when(j + 1 < n_chunks)
+            def _():
+                for cp in dmas(nxt, j + 1):
+                    cp.start()
+
+            for cp in dmas(cur, j):
+                cp.wait()
+            ids = ids_s[cur, 0]
+            sel = (ids[None, :] == e0 + jax.lax.broadcasted_iota(
+                jnp.int32, (W, RB), 0)).astype(sdt)
+            # (Mp, RB) @ (W, RB)^T -> (Mp, W): W on the lane dim, full tiles
+            acc[...] += jax.lax.dot_general(
+                x_s[cur], sel, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+        out_ref[...] = acc[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_segments // W,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # ids
+            pl.BlockSpec(memory_space=pl.ANY),  # x
+        ],
+        out_specs=pl.BlockSpec(
+            (Mp, W), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, Mp, RB), sdt),
+            pltpu.VMEM((2, 1, RB), jnp.int32),
+            pltpu.VMEM((Mp, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, n_segments), jnp.float32),
+        interpret=interpret,
+    )(splits, ids_k, x_k)
+    return out[:M].T
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def expand_gather(table, idx, perm, sorted_ids, n_src: int,
+                  implementation: str = "auto"):
+    """table[idx] with a sorted-reduction VJP (see module docstring).
+
+    table: (n_src, M); idx/perm/sorted_ids: (n_rows,) int32 with
+    sorted_ids == idx[perm] ascending. n_src static.
+    """
+    return table[idx]
+
+
+def _eg_fwd(table, idx, perm, sorted_ids, n_src, implementation):
+    # call the custom op (NOT a raw table[idx]): under grad-of-grad the fwd
+    # body is differentiated as plain ops, and an inlined gather would hand
+    # the double backward a raw scatter-add again — the exact op this
+    # module exists to remove (same recursion pattern as segment_outer's
+    # _sos_fwd/_sgc_fwd; caught by the round-4 trace showing 4 surviving
+    # scatters at the expand_gather call sites)
+    out = expand_gather(table, idx, perm, sorted_ids, n_src, implementation)
+    return out, (idx, perm, sorted_ids)
+
+
+def _eg_bwd(n_src, implementation, res, cot):
+    idx, perm, sorted_ids = res
+    d_table = _sorted_segsum(
+        cot, perm, sorted_ids, idx, n_src, implementation
+    ).astype(cot.dtype)
+    return d_table, None, None, None
+
+
+expand_gather.defvjp(_eg_fwd, _eg_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _sorted_segsum(x, perm, sorted_ids, idx, n_src: int,
+                   implementation: str = "auto"):
+    """sum of x rows grouped by idx (via the sorted order): the VJP of
+    expand_gather. Its own VJP is expand_gather again (dx[j] = g[idx[j]]),
+    closing the double-backward recursion."""
+    xp = x[perm]
+    if _use_pallas(implementation) and _pick_w(n_src) is not None:
+        return _segsum_pallas(xp, sorted_ids, n_src)
+    return _segsum_xla(xp, sorted_ids, n_src)
+
+
+def _ss_fwd(x, perm, sorted_ids, idx, n_src, implementation):
+    out = _sorted_segsum(x, perm, sorted_ids, idx, n_src, implementation)
+    return out, (idx, perm, sorted_ids)
+
+
+def _ss_bwd(n_src, implementation, res, g):
+    idx, perm, sorted_ids = res
+    dx = expand_gather(g, idx, perm, sorted_ids, n_src, implementation)
+    return dx.astype(g.dtype), None, None, None
+
+
+_sorted_segsum.defvjp(_ss_fwd, _ss_bwd)
