@@ -184,6 +184,14 @@ def pad_batch(
     out["Kidx3"] = _pad1(g.Kidx3, dims.n_triplets)
     out["trip_mask"] = (np.arange(dims.n_triplets) < g.n_triplets).astype(np.bool_)
     out["trip_row_splits"] = _row_splits(out["id3_reduce_ca"], P)
+    # sort metadata for the edge-space expand gather x_ba[id3_expand_ba]
+    # (models/interaction.py): the VJP then runs as a sorted Pallas segment
+    # sum instead of a serial scatter-add (ops/pallas/expand_gather.py).
+    # Computed over the PADDED column (padded rows point at edge 0 and carry
+    # zero cotangents) so the summed terms match the scatter path's.
+    perm = np.argsort(out["id3_expand_ba"], kind="stable").astype(np.int32)
+    out["trip_ba_perm"] = perm
+    out["trip_ba_sorted"] = out["id3_expand_ba"][perm].astype(np.int32)
     # kmax is consumed as a static shape at trace time (shape-carrier array)
     out["kmax3_static"] = np.zeros(dims.kmax3, np.bool_)
     if dims.seg_block3 and P % dims.seg_block3 == 0:
@@ -232,6 +240,10 @@ def pad_batch(
         perm = np.argsort(out[src], kind="stable").astype(np.int32)
         out[f"quad_{tag}_perm"] = perm
         out[f"quad_{tag}_sorted"] = out[src][perm].astype(np.int32)
+    # same for the edge-space expand gather x_db[id4_expand_intm_db]
+    perm = np.argsort(out["id4_expand_intm_db"], kind="stable").astype(np.int32)
+    out["intm_db_perm"] = perm
+    out["intm_db_sorted"] = out["id4_expand_intm_db"][perm].astype(np.int32)
     out["kmax4_static"] = np.zeros(dims.kmax4, np.bool_)
     if dims.seg_block4 and P % dims.seg_block4 == 0:
         out["quad_seg_block"] = np.zeros(dims.seg_block4, np.bool_)

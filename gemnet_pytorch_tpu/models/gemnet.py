@@ -234,6 +234,12 @@ class GemNet(nn.Module):
             # shape-carrier: host-chosen Pallas segment-block width from real
             # row density (data/padding.py); the LENGTH is the payload
             indices["trip_seg_block"] = batch["trip_seg_block"]
+        # sort metadata for the sorted-VJP expand gather (padding.py);
+        # absent/mismatched (halo/ep re-sliced rows) -> plain gather
+        if ("trip_ba_perm" in batch and batch["trip_ba_perm"].shape
+                == batch["id3_expand_ba"].shape):
+            indices["trip_ba_sort"] = (
+                batch["trip_ba_perm"], batch["trip_ba_sorted"])
         if not cfg.triplets_only:
             indices.update(
                 id4_reduce_ca=batch["id4_reduce_ca"],
@@ -251,6 +257,10 @@ class GemNet(nn.Module):
                     batch["quad_abd_perm"], batch["quad_abd_sorted"])
                 indices["quad_cab_sort"] = (
                     batch["quad_cab_perm"], batch["quad_cab_sorted"])
+            if ("intm_db_perm" in batch and batch["intm_db_perm"].shape
+                    == batch["id4_expand_intm_db"].shape):
+                indices["intm_db_sort"] = (
+                    batch["intm_db_perm"], batch["intm_db_sorted"])
         if cfg.ep_halo:
             indices.update(
                 edge_halo_send_idx=batch["edge_halo_send_idx"],

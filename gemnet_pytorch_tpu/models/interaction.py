@@ -43,7 +43,7 @@ class QuadrupletInteraction(nn.Module):
     @nn.compact
     def __call__(self, m, rbf, cbf, sbf, quad_row_splits, id_swap, id4_reduce_ca,
                  id4_expand_intm_db, id4_expand_abd, masks, halo=None,
-                 stage="all", x_pre=None, abd_sort=None):
+                 stage="all", x_pre=None, abd_sort=None, intm_sort=None):
         # Two-stage calling convention (halo comm/compute overlap): the
         # prelude ends exactly where the intm-row activations become the
         # payload of the halo all_to_all; InteractionBlock issues both
@@ -63,8 +63,17 @@ class QuadrupletInteraction(nn.Module):
                          dtype=self.dtype, name="down_projection")(x_db)
 
             # circular basis hadamard on the intermediate d->b space (halo mode:
-            # intm_db rows live with their d->b edge, so this gather is LOCAL)
-            x_db = x_db[id4_expand_intm_db]
+            # intm_db rows live with their d->b edge, so this gather is LOCAL;
+            # its sort metadata is absent there -> plain gather)
+            if intm_sort is not None:
+                from ..ops.pallas.expand_gather import expand_gather
+
+                x_db = expand_gather(
+                    x_db, id4_expand_intm_db, intm_sort[0], intm_sort[1],
+                    x_db.shape[0], self.implementation,
+                )
+            else:
+                x_db = x_db[id4_expand_intm_db]
             x_db2 = x_db * Dense(self.emb_size_quad, dtype=self.dtype, name="mlp_cbf")(cbf)
             x_db = ScalingFactor(self.scale_prefix + "_had_cbf", name="scale_cbf")(
                 x_db, x_db2, mask_ref=masks["intm_db"], mask_y=masks["intm_db"]
@@ -130,7 +139,8 @@ class TripletInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, m, rbf3, cbf3, trip_row_splits, id_swap, id3_expand_ba,
-                 id3_reduce_ca, masks, halo=None, stage="all", x_pre=None):
+                 id3_reduce_ca, masks, halo=None, stage="all", x_pre=None,
+                 ba_sort=None):
         # Same two-stage convention as QuadrupletInteraction: the prelude
         # ends at the down-projected edge activations (the halo payload).
         if stage != "finish":
@@ -154,7 +164,18 @@ class TripletInteraction(nn.Module):
                 x_ba = halo_extend(x_ba, *halo["edge_send"], halo["axis"])
         else:
             x_ba = x_pre  # prelude output, halo-extended by the caller
-        x_ba = x_ba[id3_expand_ba]
+        if ba_sort is not None and halo is None and x_pre is None:
+            # sorted-VJP gather: the backward runs as a Pallas sorted
+            # segment sum instead of a serial scatter-add (metadata is
+            # absent for halo/ep re-sliced batches -> plain gather)
+            from ..ops.pallas.expand_gather import expand_gather
+
+            x_ba = expand_gather(
+                x_ba, id3_expand_ba, ba_sort[0], ba_sort[1],
+                x_ba.shape[0], self.implementation,
+            )
+        else:
+            x_ba = x_ba[id3_expand_ba]
         rbf_W1, sph_rows = cbf3
         x = EfficientInteractionBilinear(
             self.emb_size_trip, rbf_W1.shape[1], self.emb_size_bilinear,
@@ -244,6 +265,7 @@ class InteractionBlock(nn.Module):
             indices["id_swap"], indices["id3_expand_ba"],
             indices["id3_reduce_ca"], masks,
         )
+        t_kwargs = {"ba_sort": indices.get("trip_ba_sort")}
         quad = None
         if not self.triplets_only:
             quad = QuadrupletInteraction(
@@ -264,7 +286,8 @@ class InteractionBlock(nn.Module):
                 indices["id4_reduce_ca"], indices["id4_expand_intm_db"],
                 indices["id4_expand_abd"], masks,
             )
-            q_kwargs = {"abd_sort": indices.get("quad_abd_sort")}
+            q_kwargs = {"abd_sort": indices.get("quad_abd_sort"),
+                        "intm_sort": indices.get("intm_db_sort")}
 
         if halo is not None:
             # Comm/compute overlap: issue each space's halo all_to_all as
@@ -276,16 +299,16 @@ class InteractionBlock(nn.Module):
             # exactness is unchanged (tests/test_halo.py).
             from ..parallel.halo import halo_extend
 
-            x_ba = trip(*t_args, stage="prelude")
+            x_ba = trip(*t_args, stage="prelude", **t_kwargs)
             x_ba = halo_extend(x_ba, *halo["edge_send"], halo["axis"])
             if quad is not None:
                 x_db = quad(*q_args, stage="prelude", **q_kwargs)
                 x_db = halo_extend(x_db, *halo["intm_send"], halo["axis"])
-            x3 = trip(*t_args, stage="finish", x_pre=x_ba)
+            x3 = trip(*t_args, stage="finish", x_pre=x_ba, **t_kwargs)
             if quad is not None:
                 x4 = quad(*q_args, stage="finish", x_pre=x_db, **q_kwargs)
         else:
-            x3 = trip(*t_args)
+            x3 = trip(*t_args, **t_kwargs)
             if quad is not None:
                 x4 = quad(*q_args, **q_kwargs)
 

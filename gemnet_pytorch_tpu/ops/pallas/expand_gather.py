@@ -218,13 +218,21 @@ def _sorted_segsum(x, perm, sorted_ids, idx, n_src: int,
 
 def _ss_fwd(x, perm, sorted_ids, idx, n_src, implementation):
     out = _sorted_segsum(x, perm, sorted_ids, idx, n_src, implementation)
-    return out, (idx, perm, sorted_ids)
+    # zero-size dtype sentinel: the cotangent for x must carry x's dtype
+    # (bf16 mode: g is the f32 segsum output's cotangent, x is bf16 — an
+    # uncast dx leaks an f32 cotangent into the bf16 graph and the double
+    # backward dies on a mixed-dtype mul)
+    return out, (idx, perm, sorted_ids, jnp.zeros((0,), x.dtype))
 
 
 def _ss_bwd(n_src, implementation, res, g):
-    idx, perm, sorted_ids = res
-    dx = expand_gather(g, idx, perm, sorted_ids, n_src, implementation)
-    return dx.astype(g.dtype), None, None, None
+    idx, perm, sorted_ids, x_dt = res
+    # cast BEFORE the gather: same values (gather commutes with the cast),
+    # half the row traffic in bf16 mode
+    dx = expand_gather(
+        g.astype(x_dt.dtype), idx, perm, sorted_ids, n_src, implementation
+    )
+    return dx, None, None, None
 
 
 _sorted_segsum.defvjp(_ss_fwd, _ss_bwd)

@@ -103,13 +103,26 @@ def test_model_uses_sorted_gather_when_metadata_present(synthetic_npz):
     tup = _make_graphs(cfg, n_molecules=2, seed=5, max_atoms=7)
     batch_np = _pad(cfg, tup, _shared_dims(cfg, [tup]))
     assert "quad_abd_perm" in batch_np and "quad_cab_perm" in batch_np
+    assert "trip_ba_perm" in batch_np and "intm_db_perm" in batch_np
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     E1, F1, _ = energy_and_forces(model, variables, batch)
     stripped = {k: v for k, v in batch.items()
-                if not k.startswith(("quad_abd_", "quad_cab_"))}
+                if not (k.startswith(("quad_abd_", "quad_cab_", "trip_ba_"))
+                        or k in ("intm_db_perm", "intm_db_sorted"))}
     E2, F2, _ = energy_and_forces(model, variables, stripped)
     np.testing.assert_allclose(np.asarray(E1), np.asarray(E2),
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(F1), np.asarray(F2),
                                rtol=2e-5, atol=2e-6)
+    # gradients too (the sorted-VJP path is the point of the metadata)
+    def loss(v, b):
+        E, F, _ = energy_and_forces(model, v, b)
+        return jnp.sum(jnp.abs(E)) + jnp.sum(jnp.abs(F))
+
+    g1 = jax.grad(loss)(variables, batch)["params"]
+    g2 = jax.grad(loss)(variables, stripped)["params"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6),
+        g1, g2)

@@ -19,7 +19,9 @@ def test_pack_unpack_roundtrip(synthetic_npz):
 
     packer = BatchPacker()
     packed = packer.pack(batch)
-    assert packed.dtype == np.uint8
+    # int32 buffer: 4-byte keys unpack by same-width bitcast with no tiled
+    # (n, itemsize) relayout on TPU (see BatchPacker docstring)
+    assert packed.dtype == np.int32
 
     unpacked = jax.jit(packer.unpack)(jnp.asarray(packed))
     for k, v in batch.items():
