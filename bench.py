@@ -39,16 +39,19 @@ census must be non-empty whenever the Pallas path is active (round 3
 recorded 0 calls silently).
 
 vs_baseline: the reference publishes no in-repo numbers (BASELINE.md);
-the ratio is against this repo's recorded round-1 number (BENCH_BASE below)
-so progress across rounds is visible. NOTE: rounds 1-3 numbers all flowed
-through the broken barrier; BENCH_r04 is the first trustworthy recording
-(artifacts_r04_perf.md reconciles the history).
+the ratio is against this repo's ROUND-4 recorded numbers (BENCH_BASE_*
+below) — the first honest measurements in the repo's history
+(artifacts_r04_perf.md reconciles rounds 1-3, which all flowed through a
+broken barrier; the old round-1 anchor 2.8e7 was a fiction and dividing by
+it made vs_baseline meaningless — VERDICT r4 item 5). Round-over-round
+convention from round 5 on: vs_baseline = this run's headline / the
+previous round's recorded headline in the SAME compute dtype.
 
---compute-dtype bfloat16 benches the bf16 mixed-precision mode for the A/B
-record; by default the small-workload bf16 train step is ALSO measured in
-its own consecutive window block ("bf16_agg_per_s") so every BENCH records
-the A/B (VERDICT r3 item 8). The flagship headline stays fp32
-(reference-parity numerics).
+Headline path: bfloat16 streams (the TPU-native production mode, round-4
+A/B-parity-tested) — VERDICT r4 item 1c. The fp32 reference-parity mode is
+measured in its own consecutive window block ("f32_agg_per_s") on both
+workloads so the A/B and the round-4 continuity are always recorded;
+--compute-dtype float32 restores the old fp32 headline.
 """
 
 from __future__ import annotations
@@ -59,7 +62,9 @@ import time
 
 import numpy as np
 
-BENCH_BASE = 2.8e7  # trip+quads/s through the TRAIN STEP, round 1, TPU v5e (best-of-3 windows through the pre-round-4 barrier; see artifacts_r04_perf.md)
+# Round-4 honest anchors (BENCH_r04.json, value-fetch windows, TPU v5e):
+BENCH_BASE_BF16 = 4311535.0  # bf16 small train step, 47.99 ms/step
+BENCH_BASE_F32 = 2316200.0   # fp32 small train step, 89.33 ms/step
 
 
 def log(*a):
@@ -142,12 +147,17 @@ def main():
                     "back the per-step device time (perf/trace.py)")
     ap.add_argument("--compute-dtype", default=None,
                     choices=["float32", "bfloat16"],
-                    help="override config.yaml compute dtype for the "
-                    "HEADLINE workloads")
+                    help="HEADLINE compute dtype (default bfloat16, the "
+                    "TPU-native production mode; float32 restores the "
+                    "pre-round-5 reference-parity headline)")
     ap.add_argument("--skip-large", action="store_true",
                     help="only the small headline workload")
-    ap.add_argument("--skip-bf16", action="store_true",
-                    help="skip the default small-workload bf16 A/B window")
+    ap.add_argument("--skip-f32", action="store_true",
+                    help="skip the fp32 reference-parity A/B windows")
+    ap.add_argument("--large-scan", type=int, default=4,
+                    help="K for the large-workload scan-of-K adjudicator "
+                    "window (amortizes any per-dispatch cost Kx: separates "
+                    "device time from tunnel/re-upload overhead; 0 disables)")
     ap.add_argument("--skip-roofline", action="store_true",
                     help="skip peak calibration + cost analysis")
     ap.add_argument("--steps-per-call", type=int, default=1,
@@ -164,8 +174,7 @@ def main():
     from gemnet_pytorch_tpu.training import Trainer
 
     cfg_dict = load_yaml_config("config.yaml")
-    if args.compute_dtype:
-        cfg_dict["compute_dtype"] = args.compute_dtype
+    cfg_dict["compute_dtype"] = args.compute_dtype or "bfloat16"
     cfg = ModelConfig.from_dict(cfg_dict)  # canonical: direct_forces=False
     tcfg = TrainConfig.from_dict(cfg_dict)
     log("devices:", jax.devices(), " compute_dtype:", cfg.compute_dtype)
@@ -280,9 +289,7 @@ def main():
                 results[kind + "_code_mb"] = code_mb
                 log(f"[{kind}] compiled code size: {code_mb:.1f} MB, "
                     f"temp {ma.temp_size_in_bytes/1e6:.1f} MB, argument "
-                    f"{ma.argument_size_in_bytes/1e6:.1f} MB "
-                    "(re-upload hypothesis: per-call ms ~ code MB / "
-                    "60-90 MB/s in the degraded pool)")
+                    f"{ma.argument_size_in_bytes/1e6:.1f} MB")
             except Exception as e:
                 log(f"memory_analysis unavailable: {e!r}")
             real_rows = {dims.n_triplets: g.n_triplets,
@@ -311,12 +318,16 @@ def main():
                     "trust this number")
             roof[kind] = {k: v for k, v in rep.items() if k != "census"}
 
-        # optional: K steps per dispatch via lax.scan over stacked packed
-        # batches (trainer.multi_step_fn; numerically identical to single
-        # steps — tests/test_flat_opt.py). Opt-in: the scanned program is
-        # ~Kx bigger, and big programs pay per-call re-upload on the pooled
-        # tunneled runtime (artifacts_r02_tpu_session2.md).
+        # K steps per dispatch via lax.scan over stacked packed batches
+        # (trainer.multi_step_fn; numerically identical to single steps —
+        # tests/test_flat_opt.py). Always on for the LARGE workload
+        # (--large-scan, default 4): scan amortizes EVERY per-dispatch cost
+        # Kx — including any program re-upload — so scanK-per-step vs the
+        # single-step window adjudicates whether the large number is device
+        # time or tunnel pathology (VERDICT r4 item 2).
         K = args.steps_per_call
+        if kind == "large" and args.large_scan > 1:
+            K = max(K, args.large_scan)
         if K > 1:
             row = trainer.packer.pack(batch_np)
             packed_k = jnp.asarray(np.stack([row] * K))
@@ -334,10 +345,23 @@ def main():
 
             sres = timed_windows(train_scan, windows=3, rtt_s=rtt)
             state = sbox["state"]
+            scan_ms = sres["median_s"] / K * 1e3
             results[kind + "_scan"] = n_real / (sres["median_s"] / K)
-            log(f"[{kind}] train scan{K} steady: "
-                f"{sres['median_s']/K*1e3:.3f} ms/step"
+            results[kind + "_scan_ms"] = scan_ms
+            log(f"[{kind}] train scan{K} steady: {scan_ms:.3f} ms/step"
                 f" -> {n_real/(sres['median_s']/K):.3e} trip+quad/s")
+            if kind == "large":
+                single_ms = results["large_ms"]
+                overhead = single_ms - scan_ms
+                verdict = (
+                    "DEVICE-BOUND (scan-of-K matches single steps; no "
+                    "re-upload pathology)" if overhead < 0.1 * single_ms
+                    else f"PER-DISPATCH OVERHEAD ~{overhead:.0f} ms/step "
+                    "(tunnel/re-upload; device time is the scan number)"
+                )
+                results["large_dispatch_overhead_ms"] = overhead
+                log(f"[large] adjudication: single {single_ms:.1f} ms vs "
+                    f"scan{K} {scan_ms:.1f} ms/step -> {verdict}")
         else:
             multi = packed_k = None
 
@@ -372,45 +396,54 @@ def main():
         step = None
         del trainer, state, step, variables, multi, packed_k
 
-    # ---- bf16 A/B (own consecutive window block — program switches on the
-    # tunneled runtime cost ~0.5-1.2 s and must not interleave) ----
-    if not args.skip_bf16 and cfg.compute_dtype == "float32":
-        bf16_cfg = ModelConfig.from_dict(
-            dict(cfg_dict, compute_dtype="bfloat16"))
-        bf16_model = make_model(bf16_cfg)
-        batch, n_real, g, dims, batch_np, _ = make_batch(bf16_cfg, "small")
-        variables = jax.jit(bf16_model.init)(jax.random.PRNGKey(0), batch)
-        trainer = Trainer(bf16_model, tcfg)
-        state = trainer.init_state(dict(variables))
-        packed = jnp.asarray(trainer.packer.pack(batch_np))
-        state, bres = measure_train_step(
-            trainer, state, packed, lr, rtt, "small/bf16")
-        results["bf16_agg_per_s"] = n_real / bres["median_s"]
-        results["bf16_ms"] = bres["median_s"] * 1e3
-        log(f"[small/bf16] -> {results['bf16_agg_per_s']:.3e} trip+quad/s "
-            f"(fp32 headline: {results.get('small', 0):.3e})")
-        del trainer, state, variables
+    # ---- fp32 reference-parity A/B (own consecutive window block — program
+    # switches on the tunneled runtime cost ~0.5-1.2 s and must not
+    # interleave). Records the round-4 continuity numbers on BOTH workloads
+    # (the large fp32 window was the round-4 gap — VERDICT r4 item 2). ----
+    if not args.skip_f32 and cfg.compute_dtype == "bfloat16":
+        f32_cfg = ModelConfig.from_dict(
+            dict(cfg_dict, compute_dtype="float32"))
+        f32_model = make_model(f32_cfg)
+        for kind in (("small",) if args.skip_large else ("small", "large")):
+            batch, n_real, g, dims, batch_np, _ = make_batch(f32_cfg, kind)
+            variables = jax.jit(f32_model.init)(jax.random.PRNGKey(0), batch)
+            trainer = Trainer(f32_model, tcfg)
+            state = trainer.init_state(dict(variables))
+            packed = jnp.asarray(trainer.packer.pack(batch_np))
+            state, bres = measure_train_step(
+                trainer, state, packed, lr, rtt, kind + "/f32")
+            results[f"f32_{kind}_agg"] = n_real / bres["median_s"]
+            results[f"f32_{kind}_ms"] = bres["median_s"] * 1e3
+            log(f"[{kind}/f32] -> {results[f'f32_{kind}_agg']:.3e} "
+                f"trip+quad/s (headline {cfg.compute_dtype}: "
+                f"{results.get(kind, 0):.3e})")
+            del trainer, state, variables
 
+    base = (BENCH_BASE_BF16 if cfg.compute_dtype == "bfloat16"
+            else BENCH_BASE_F32)
     out = {
         "metric": "triplets+quads aggregated/sec/chip (GemNet-Q train step)",
+        "compute_dtype": cfg.compute_dtype,
         "small_n_real": results.get("small_n_real"),
         "large_n_real": results.get("large_n_real"),
         "value": results["small"],
         "unit": "agg/s/chip",
-        "vs_baseline": results["small"] / BENCH_BASE,
+        "vs_baseline": results["small"] / base,
         "best_agg_per_s": results["small_best"],
         "small_ms_median": results.get("small_ms"),
         "fwd_ms_median": results.get("fwd_ms_median"),
         "rtt_ms": rtt * 1e3,
         "peaks_source": peaks_source,
-        "note": "value = MEDIAN of 5 chained value-fetch windows "
-                "(methodology rebuilt in round 4; rounds 1-3 used a barrier "
-                "that under-reports on this runtime — artifacts_r04_perf.md)",
+        "note": "value = MEDIAN of 5 chained value-fetch windows, "
+                f"{cfg.compute_dtype} headline; vs_baseline is measured/"
+                "measured vs the round-4 anchor in the same dtype "
+                "(artifacts_r04_perf.md; re-anchored per VERDICT r4 item 5)",
     }
     if "small" in roof:
         r = roof["small"]
         out.update(
             sol_ms_lo=r["sol_ms_lo"], sol_ms_hi=r["sol_ms_hi"],
+            sol_band=r.get("sol_band"),
             sol_fraction=r["sol_fraction"], mfu_bf16peak=r["mfu_bf16peak"],
             hbm_util=r["hbm_util"], hbm_util_lo=r["hbm_util_lo"],
             below_floor=r["below_floor"], pallas_calls=r["pallas_calls"],
@@ -421,9 +454,12 @@ def main():
         out["profile_step_ms"] = results["profile_step_ms"]
     if "small_code_mb" in results:
         out["code_size_mb"] = results["small_code_mb"]
-    if "bf16_agg_per_s" in results:
-        out["bf16_agg_per_s"] = results["bf16_agg_per_s"]
-        out["bf16_ms_median"] = results["bf16_ms"]
+    for k in ("f32_small_agg", "f32_small_ms", "f32_large_agg",
+              "f32_large_ms"):
+        if k in results:
+            out[k] = results[k]
+    if "f32_small_agg" in results:
+        out["f32_vs_r04"] = results["f32_small_agg"] / BENCH_BASE_F32
     if "small_scan" in results:
         out["steps_per_call"] = args.steps_per_call
         out["scan_agg_per_s"] = results["small_scan"]
@@ -433,10 +469,12 @@ def main():
         if "large" in roof:
             out["large_sol_fraction"] = roof["large"]["sol_fraction"]
             out["large_below_floor"] = roof["large"]["below_floor"]
+            out["large_sol_band"] = roof["large"].get("sol_band")
+        for k in ("large_scan_ms", "large_dispatch_overhead_ms"):
+            if k in results:
+                out[k] = results[k]
         if "large_scan" in results:
             out["large_scan_agg_per_s"] = results["large_scan"]
-    if cfg.compute_dtype != "float32":
-        out["compute_dtype"] = cfg.compute_dtype
     print(json.dumps(out))
 
 

@@ -102,6 +102,32 @@ class PadDims:
         )
 
 
+# Sorted-VJP gather metadata (the `*_perm`/`*_sorted` pairs emitted by
+# pad_batch): a SINGLE-DEVICE layout contract. The perms are global argsorts
+# of the padded index columns; any transformation that re-slices, re-orders,
+# or shards a row space invalidates them, and MUST call
+# `strip_sort_metadata` on the batch it returns (parallel/ep.py does; halo
+# and pp build their batches from scratch and never carry the keys). The
+# model additionally keeps a shape-equality backstop (models/gemnet.py), but
+# the stripping is the contract — a re-slicer that preserves shapes would
+# pass the backstop with stale perms and produce silently wrong gradients.
+SORT_META_KEYS = (
+    "trip_ba_perm", "trip_ba_sorted",
+    "intm_db_perm", "intm_db_sorted",
+    "quad_abd_perm", "quad_abd_sorted",
+    "quad_cab_perm", "quad_cab_sorted",
+)
+
+
+def strip_sort_metadata(batch: dict) -> dict:
+    """Drop the sorted-VJP gather metadata from `batch` IN PLACE (and return
+    it). Required for any batch whose row spaces were re-sliced/sharded after
+    pad_batch — see SORT_META_KEYS."""
+    for k in SORT_META_KEYS:
+        batch.pop(k, None)
+    return batch
+
+
 def _row_splits(sorted_ids: np.ndarray, n_segments: int) -> np.ndarray:
     """First row index for every EDGE_BLOCK of segment ids (for the Pallas
     segment kernels' scalar prefetch)."""

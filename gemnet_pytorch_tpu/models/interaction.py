@@ -62,10 +62,15 @@ class QuadrupletInteraction(nn.Module):
             x_db = Dense(self.emb_size_quad, activation=self.activation,
                          dtype=self.dtype, name="down_projection")(x_db)
 
-            # circular basis hadamard on the intermediate d->b space (halo mode:
-            # intm_db rows live with their d->b edge, so this gather is LOCAL;
-            # its sort metadata is absent there -> plain gather)
-            if intm_sort is not None:
+            # circular basis hadamard on the intermediate d->b space (halo
+            # mode: intm_db rows live with their d->b edge, so this gather is
+            # LOCAL). Defensive guard, mirroring TripletInteraction: the
+            # sorted-VJP path is valid only for the single-device stage="all"
+            # call — halo/ep partitioners re-slice the row spaces, so a
+            # matching-shape sort carried into a prelude/finish/halo call
+            # would sum cotangents under stale global perms.
+            if (intm_sort is not None and stage == "all" and halo is None
+                    and x_pre is None):
                 from ..ops.pallas.expand_gather import expand_gather
 
                 x_db = expand_gather(
@@ -89,10 +94,11 @@ class QuadrupletInteraction(nn.Module):
                 x_db = halo_extend(x_db, *halo["intm_send"], halo["axis"])
         else:
             x_db = x_pre  # prelude output, halo-extended by the caller
-        if abd_sort is not None:
+        if abd_sort is not None and halo is None and x_pre is None:
             # sorted-VJP gather: the backward runs as a Pallas sorted
             # segment sum instead of a serial scatter-add
-            # (ops/pallas/expand_gather.py)
+            # (ops/pallas/expand_gather.py; metadata is invalid for
+            # halo/ep re-sliced batches -> plain gather)
             from ..ops.pallas.expand_gather import expand_gather
 
             x_db = expand_gather(

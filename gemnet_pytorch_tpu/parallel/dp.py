@@ -98,7 +98,7 @@ def make_dp_predict_fn(model, mesh: Mesh):
 
 def make_dp_eval_step(trainer: Trainer, mesh: Mesh):
     """(params, scales, stacked_batch) -> (metrics, counts) as GLOBAL masked
-    ratios (psum over dp), replicated. Accepts dict batches or packed uint8
+    ratios (psum over dp), replicated. Accepts dict batches or packed int32 word
     rows (BatchPacker) like the train step; a remainder group can be padded
     with `trainer.packer.zero_masks(row)` copies, which contribute zero to
     every num/den pair."""

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..data.padding import EDGE_BLOCK, ROW_BLOCK, _row_splits
+from ..data.padding import EDGE_BLOCK, ROW_BLOCK, _row_splits, strip_sort_metadata
 
 EP_AXIS = "ep"
 
@@ -126,15 +126,13 @@ def partition_batch(
         out["quad_mask"] = mask
         out.update(extras)
         out["quad_row_splits"] = splits
-    # sorted-VJP gather metadata is a single-device layout contract: sliced
-    # row spaces invalidate the global perms, and the one space ep keeps
-    # replicated (intm_db) would route its custom-vjp gather through the ep
-    # shard_map's mixed invariant/variant inputs, tripping JAX's vma
-    # (pvary) handling — drop them all; ep uses plain gathers.
-    for k in ("trip_ba_perm", "trip_ba_sorted", "intm_db_perm",
-              "intm_db_sorted", "quad_abd_perm", "quad_abd_sorted",
-              "quad_cab_perm", "quad_cab_sorted"):
-        out.pop(k, None)
+    # sorted-VJP gather metadata is a single-device layout contract
+    # (data/padding.py SORT_META_KEYS): sliced row spaces invalidate the
+    # global perms, and the one space ep keeps replicated (intm_db) would
+    # route its custom-vjp gather through the ep shard_map's mixed
+    # invariant/variant inputs, tripping JAX's vma (pvary) handling — strip
+    # them all; ep uses plain gathers.
+    strip_sort_metadata(out)
     return out
 
 

@@ -121,7 +121,7 @@ def pallas_costs(census: list[dict], real_rows: dict[int, int] | None = None,
     out = {
         "f32_flops_lo": 0.0, "f32_flops_hi": 0.0,
         "bf16_flops_lo": 0.0, "bf16_flops_hi": 0.0,
-        "bytes_lo": 0.0, "bytes_hi": 0.0,
+        "bytes_lo": 0.0, "bytes_hi": 0.0, "staging_bytes_lo": 0.0,
         "useful_flops": 0.0, "n_calls": len(census),
     }
     for c in census:
@@ -135,6 +135,12 @@ def pallas_costs(census: list[dict], real_rows: dict[int, int] | None = None,
         Mp = -(-M // sub) * sub
         grid_used = -(-seg_eff // W)
         chunks_lo = -(-n_eff // RB)
+        # staging floor (round-5 roofline tightening): traffic the XLA side
+        # of each call must move — distinct per call, never CSE-able:
+        # results read by consumers, per-call cotangent/permuted-row
+        # stagings written by producers. Operand stagings the step CAN share
+        # across calls (the a/b row streams) are deliberately excluded, so
+        # this stays a floor.
         if c["kind"] == "fwd":
             chunks_hi = chunks_lo + grid_used
             per_chunk = 2.0 * S * W * M * RB
@@ -145,6 +151,22 @@ def pallas_costs(census: list[dict], real_rows: dict[int, int] | None = None,
             blo = chunks_lo * rd + wr_out
             bhi = chunks_hi * rd + wr_out
             out["useful_flops"] += 2.0 * S * M * n_eff
+            out["staging_bytes_lo"] += S * nseg * M * 4  # out read back
+        elif c["kind"] == "segsum":
+            # sorted segment-sum (ops/pallas/expand_gather.py): single
+            # (Mp, RB) x (RB, W) one-hot contraction per chunk, no a-stream,
+            # output (Mp, nseg) written once. (Pre-round-5 this fell into
+            # the bwd branch and over-modeled flops ~2SX and bytes.)
+            chunks_hi = chunks_lo + grid_used
+            per_chunk = 2.0 * Mp * W * RB
+            flo, fhi = per_chunk * chunks_lo, per_chunk * chunks_hi
+            rd = RB * Mp * isz + RB * 4
+            wr_out = nseg * M * 4
+            blo = chunks_lo * rd + wr_out
+            bhi = chunks_hi * rd + wr_out
+            out["useful_flops"] += 2.0 * M * n_eff
+            # permuted cotangent rows written by the producer + out read
+            out["staging_bytes_lo"] += n_eff * M * isz + nseg * M * 4
         else:  # bwd
             grid = -(-n // RB)
             iters_lo = max(grid, grid_used)
@@ -158,6 +180,11 @@ def pallas_costs(census: list[dict], real_rows: dict[int, int] | None = None,
             blo = grid * (rd_chunk + wr_chunk) + iters_lo * cot_rd
             bhi = grid * (rd_chunk + wr_chunk) + iters_hi * cot_rd
             out["useful_flops"] += 3 * 2.0 * S * M * n_eff  # da+db(+G)
+            # cotangent staged per call (distinct values every call) + the
+            # da/db results read back by consumers
+            out["staging_bytes_lo"] += (
+                S * nseg * M * cot_isz + (S + M) * n_eff * isz
+            )
         cls = "bf16" if isz == 2 else "f32"
         out[f"{cls}_flops_lo"] += flo
         out[f"{cls}_flops_hi"] += fhi
@@ -205,7 +232,15 @@ class Roofline:
             + p[f"bf16_flops_{bound}"] / self.peaks["mxu_bf16"]
         )
         if bound == "lo":
-            memory = self.min_bytes / self.peaks["hbm"]
+            # round-5 floor: live buffers + per-kernel minimum stream
+            # traffic (every Pallas call must read its row streams and
+            # write its output at least once: bytes_lo) + the per-call
+            # XLA-side stagings that can never be shared (staging_bytes_lo).
+            # The pre-round-5 live-buffers-only floor sat ~1000x below the
+            # accounting hi bound — vacuous for steering (VERDICT r4 #6).
+            memory = (
+                self.min_bytes + p["bytes_lo"] + p.get("staging_bytes_lo", 0.0)
+            ) / self.peaks["hbm"]
         else:
             memory = (self.xla_bytes + p["bytes_hi"]) / self.peaks["hbm"]
         return max(compute, memory)
@@ -233,9 +268,12 @@ class Roofline:
             # live-buffer bytes (a real lower bound on achieved bandwidth)
             "hbm_util": (self.xla_bytes + self.pallas["bytes_hi"])
             / measured_seconds / self.peaks["hbm"],
-            "hbm_util_lo": self.min_bytes / measured_seconds
-            / self.peaks["hbm"],
+            "hbm_util_lo": (
+                self.min_bytes + self.pallas["bytes_lo"]
+                + self.pallas.get("staging_bytes_lo", 0.0)
+            ) / measured_seconds / self.peaks["hbm"],
             "min_bytes": self.min_bytes,
+            "sol_band": sol_hi / sol_lo if sol_lo > 0 else float("inf"),
             "pallas_calls": self.pallas["n_calls"],
             "below_floor": measured_seconds < sol_lo,
         }

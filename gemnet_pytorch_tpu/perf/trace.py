@@ -139,6 +139,86 @@ def step_device_ms(trace_dir: str, match: str = "step") -> ModuleTime | None:
     return max(hits, key=lambda m: m.total_ms)
 
 
+def op_times(trace_dir_or_file: str, module_match: str | None = None
+             ) -> dict[str, ModuleTime]:
+    """Per-XLA-OP device time from the newest trace ({op_name: ModuleTime}).
+
+    Reads the "XLA Ops" lines of the device planes — one event per op
+    execution inside the compiled programs (the r4c attribution in
+    artifacts_r04_perf.md was read off this line by hand; this makes it a
+    tool). `module_match`: not supported per-op by the XSpace schema (ops
+    carry no module id on this line) — filter by tracing only the program
+    of interest instead."""
+    del module_match
+    path = trace_dir_or_file
+    if os.path.isdir(path):
+        files = find_xspace_files(path)
+        if not files:
+            raise FileNotFoundError(f"no .xplane.pb under {path}")
+        path = files[-1]
+    xs = load_xspace(path)
+    out: dict[str, ModuleTime] = {}
+    for plane in _device_planes(xs):
+        meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+        for line in plane.lines:
+            lname = (line.name or line.display_name).lower()
+            if "ops" not in lname:
+                continue
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                mt = out.setdefault(name, ModuleTime(name, 0, 0.0))
+                mt.count += 1
+                mt.total_ms += ev.duration_ps / 1e9
+    return out
+
+
+def categorize_op(name: str) -> str:
+    """Coarse cost category for an XLA op name (attribution buckets)."""
+    n = name.lower()
+    if "custom-call" in n or "tpu_custom_call" in n or "pallas" in n:
+        return "pallas"
+    if n.startswith("copy") or ".copy" in n or "copy-start" in n \
+            or "copy-done" in n:
+        return "copy"
+    if "all-to-all" in n or "all-reduce" in n or "collective" in n \
+            or "ppermute" in n or "all-gather" in n or "reduce-scatter" in n:
+        return "collective"
+    if "fusion" in n:
+        return "fusion"
+    if "reshape" in n or "transpose" in n or "bitcast" in n:
+        return "reshape"
+    if "slice" in n:
+        return "slice"
+    if "convolution" in n or n.startswith("dot") or ".dot" in n:
+        return "dot"
+    if "infeed" in n or "outfeed" in n or "send" in n or "recv" in n:
+        return "io"
+    return "other"
+
+
+def op_category_summary(trace_dir: str, n_execs: int = 1) -> dict[str, float]:
+    """{category: ms per execution} over the trace's op events; divide the
+    plane totals by `n_execs` program executions to get per-step ms."""
+    cats: dict[str, float] = {}
+    for name, mt in op_times(trace_dir).items():
+        c = categorize_op(name)
+        cats[c] = cats.get(c, 0.0) + mt.total_ms
+    return {k: v / max(n_execs, 1) for k, v in sorted(
+        cats.items(), key=lambda kv: -kv[1])}
+
+
+def top_ops(trace_dir: str, k: int = 40, n_execs: int = 1) -> str:
+    """Human-readable top-k ops by total device time (ms per execution)."""
+    mods = op_times(trace_dir)
+    lines = []
+    for name, mt in sorted(mods.items(), key=lambda kv: -kv[1].total_ms)[:k]:
+        lines.append(
+            f"{mt.total_ms/max(n_execs,1):8.3f} ms  x{mt.count:<5d} "
+            f"[{categorize_op(name):10s}] {name[:110]}"
+        )
+    return "\n".join(lines)
+
+
 def summarize(trace_dir: str) -> str:
     lines = []
     for name, mt in sorted(

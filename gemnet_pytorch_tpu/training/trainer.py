@@ -649,7 +649,7 @@ class Trainer:
         accumulation already lives in apply_update so device-side metrics
         aggregate across the scanned steps exactly as they do across calls.
 
-        Returns (state, packed (K, nbytes) uint8, lr_scale) ->
+        Returns (state, packed (K, n_words) int32, lr_scale) ->
         (state, metrics of the LAST step, counts of the last step).
         """
         if (self._multi_step is not None
@@ -684,7 +684,7 @@ class Trainer:
 
     def train_on_batches(self, state: TrainState, batches, lr_scale):
         """K async train steps in ONE device dispatch (multi_step_fn).
-        `batches` is a list of host dicts or pre-packed uint8 buffers of
+        `batches` is a list of host dicts or pre-packed int32 word buffers of
         identical layout. Returns (state, last-step loss, device async)."""
         import numpy as np
 
@@ -726,7 +726,7 @@ class Trainer:
         """One async train step; metrics accumulate on device. Pass a Metrics
         instance to ALSO drain immediately (host sync — slow over the tunnel;
         prefer drain_metrics once per interval). `batch` may be a host dict or
-        a pre-packed uint8 buffer (BatchPacker / provider transform)."""
+        a pre-packed int32 word buffer (BatchPacker / provider transform)."""
         import numpy as np
 
         if isinstance(batch, np.ndarray):

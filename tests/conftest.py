@@ -21,8 +21,35 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent XLA compilation cache: the suite rebuilds near-identical GemNet
 # programs across many test files, and CPU compiles of the full model are
 # tens of seconds each. Shared across xdist workers and across runs
-# (machine-local — gitignored).
-_jax_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+# (machine-local — gitignored). The directory is keyed by a host-CPU
+# fingerprint: XLA:CPU caches AOT machine code compiled for the build host's
+# exact feature set, and loading it on a different CPU trips
+# cpu_aot_loader feature-mismatch errors ("could lead to execution errors
+# such as SIGILL") — a workspace that migrates across machines (as this one
+# does between rounds) must not reuse the old host's cache.
+
+
+def _host_cpu_tag():
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(
+        (platform.machine() + flags).encode()
+    ).hexdigest()[:10]
+
+
+_jax_cache = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), f".jax_cache-{_host_cpu_tag()}"
+)
 jax.config.update("jax_compilation_cache_dir", _jax_cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -22,6 +22,25 @@ Three variants, per the round-2 verdict:
 This test caught the AMSGrad semantics bug (optax maxes the bias-corrected
 second moment; torch maxes the raw moment) that 1-2 step parity could not:
 the two agree at step 1 and drift percent-per-step from step 2 on.
+
+Envelope calibration (round 5): the loss-curve envelope is the pointwise max
+of a linear fp32-drift allowance AND 3x the trajectory's MEASURED intrinsic
+sensitivity — the rel-loss spread induced by multiplying the initial
+parameters by (1 + 2^-23), re-run through the SAME jitted step. Root-cause
+analysis of the round-4 MVE failure (scripts/mve_sensitivity.py,
+artifacts_r05_mve.md): the step-57 breach (rel 2.03e-3 vs 1.91e-3) was NOT
+the round-4 sorted-VJP kernels (stripping the sort metadata reproduces the
+trajectory BITWISE — scripts/mve_bisect.py), and not the stale AOT cache
+(fresh cache: identical). It is intrinsic chaos: a 1-ULP self-perturbation
+produces a LARGER step-57 spread (2.37e-3) than the torch-vs-jax gap, i.e.
+the old fixed envelope was below the system's own Lyapunov noise floor at
+transient sensitivity spikes (steps 53/57 have anomalous NLL values; drift
+recovers to ~1e-5 by step 58 and final param drift is 2.8e-6). The
+self-calibrated envelope keeps full bug-catching power: an implementation
+bug affects base and perturbed runs IDENTICALLY (the spread measures only
+intrinsic chaos), while real divergence — like the AMSGrad bug's
+percent-per-step compounding — still trips the linear term and the strict
+final param/EMA drift asserts.
 """
 
 import numpy as np
@@ -283,31 +302,51 @@ def _run_trajectories(synthetic_npz, *, n_steps, eval_interval, loss="rmse",
                                                     "decay_cooldown")},
     )
     trainer = Trainer(model, tcfg)
-    state = trainer.init_state(variables)
-    plateau = PlateauState(
-        factor=HP["decay_factor"], patience=HP["decay_patience"],
-        cooldown=HP["decay_cooldown"], threshold=threshold,
-        threshold_mode=threshold_mode,
+
+    def run_ours(init_variables):
+        """One full framework trajectory (shares trainer's jitted step)."""
+        state = trainer.init_state(init_variables)
+        plateau = PlateauState(
+            factor=HP["decay_factor"], patience=HP["decay_patience"],
+            cooldown=HP["decay_cooldown"], threshold=threshold,
+            threshold_mode=threshold_mode,
+        )
+        losses, vals = [], []
+        lr_scale = 1.0
+        for step in range(1, n_steps + 1):
+            _, batch = train_pairs[(step - 1) % len(train_pairs)]
+            state, l = trainer.train_on_batch(state, batch, lr_scale)
+            losses.append(float(l))
+            # torch LambdaLR mechanics: a plateau reduce at this step's eval
+            # mutates base_lrs AFTER scheduler.step() already set the next
+            # step's lr, so it takes effect at step+2 — snapshot before eval
+            # (train.py replicates this with lr_eff)
+            lr_scale = plateau.lr_scale
+            if step % eval_interval == 0:
+                ovm = Metrics("val", trainer.tracked_metrics)
+                our_val = trainer.test_on_batch(
+                    state, val_pair[1], ovm, use_ema=True)
+                plateau.step(our_val)
+                vals.append(float(our_val))
+        return state, plateau, np.array(losses), vals
+
+    state, plateau, our_losses, our_vals = run_ours(
+        {k: dict(v) if isinstance(v, dict) else v for k, v in variables.items()}
     )
 
-    our_losses, our_vals = [], []
-    lr_scale = 1.0
-
-    for step in range(1, n_steps + 1):
-        _, batch = train_pairs[(step - 1) % len(train_pairs)]
-        state, l = trainer.train_on_batch(state, batch, lr_scale)
-        our_losses.append(float(l))
-        # torch LambdaLR mechanics: a plateau reduce at this step's eval
-        # mutates base_lrs AFTER scheduler.step() already set the next
-        # step's lr, so it takes effect at step+2 — snapshot before eval
-        # (train.py replicates this with lr_eff)
-        lr_scale = plateau.lr_scale
-
-        if step % eval_interval == 0:
-            ovm = Metrics("val", trainer.tracked_metrics)
-            our_val = trainer.test_on_batch(state, val_pair[1], ovm, use_ema=True)
-            plateau.step(our_val)
-            our_vals.append(float(our_val))
+    # intrinsic-sensitivity twin: identical trajectory from params * (1+ULP).
+    # Its spread vs the base run measures the system's own fp32 chaos at each
+    # step — the envelope floor no cross-implementation comparison can beat
+    # (see module docstring; scripts/mve_sensitivity.py for the analysis).
+    ulp = np.float32(1.0) + np.float32(2.0**-23)
+    pert_vars = dict(variables)
+    pert_vars["params"] = jax.tree_util.tree_map(
+        lambda x: (x * ulp).astype(x.dtype), variables["params"]
+    )
+    _, _, pert_losses, _ = run_ours(pert_vars)
+    ulp_rel = np.abs(our_losses - pert_losses) / (
+        np.abs(np.asarray(ref["ref_losses"])) + 1e-8
+    )
 
     # final-parameter deltas (mapped through the weight-import name map)
     ref_after = ref["ref_after"]
@@ -345,6 +384,7 @@ def _run_trajectories(synthetic_npz, *, n_steps, eval_interval, loss="rmse",
         ref_lr_ratio=ref["ref_lr_ratio"],
         our_lr_scale=plateau.lr_scale,
         param_drift=param_drift, ema_drift=ema_drift,
+        ulp_rel=ulp_rel,
     )
 
 
@@ -352,8 +392,16 @@ def _assert_curves(t, n_steps, loss_tol, val_tol, param_tol):
     rel = np.abs(t["ref_losses"] - t["our_losses"]) / (
         np.abs(t["ref_losses"]) + 1e-8
     )
-    # drift compounds: allow a linearly growing envelope on the loss curve
-    envelope = loss_tol * (1.0 + 9.0 * np.arange(n_steps) / n_steps)
+    # drift compounds: allow a linearly growing envelope on the loss curve,
+    # raised pointwise to 3x the MEASURED 1-ULP self-perturbation spread —
+    # at transient sensitivity spikes the trajectory's intrinsic chaos
+    # exceeds any fixed fp32 allowance (module docstring; the implementation
+    # under test cannot inflate its own ulp_rel: a deterministic bug moves
+    # base and perturbed runs identically)
+    envelope = np.maximum(
+        loss_tol * (1.0 + 9.0 * np.arange(n_steps) / n_steps),
+        3.0 * t["ulp_rel"],
+    )
     bad = np.nonzero(rel > envelope)[0]
     assert bad.size == 0, (
         f"loss curves diverge at steps {bad[:5]}: rel {rel[bad[:5]]} "
