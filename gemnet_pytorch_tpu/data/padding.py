@@ -141,6 +141,15 @@ def _pad1(a: np.ndarray, n: int, fill=0) -> np.ndarray:
     return out
 
 
+# int16 downcast only below this array LENGTH: BatchPacker.unpack bitcasts
+# the int32 buffer to s16[n/2, 2] and reshapes to s16[n] — a tile-layout
+# change XLA materializes as a relayout copy, which the round-5 trace shows
+# re-materialized up to 18x/step (~2.2 ms/step for the 192512-long quad-space
+# columns). Small arrays keep the transfer win at negligible relayout cost;
+# long ones ship as int32 and unpack as plain word slices (zero relayout).
+_SHRINK_MAX_LEN = 32768
+
+
 def _shrink_ids(out: dict[str, np.ndarray], dims: PadDims) -> dict[str, np.ndarray]:
     """Downcast index arrays to int16 where the (static) target space allows —
     halves the per-step host->device transfer. Target-space bound comes from
@@ -157,7 +166,7 @@ def _shrink_ids(out: dict[str, np.ndarray], dims: PadDims) -> dict[str, np.ndarr
     for keys, bound in families.items():
         if bound < 32767:
             for k in keys:
-                if k in out:
+                if k in out and out[k].size <= _SHRINK_MAX_LEN:
                     out[k] = out[k].astype(np.int16)
     return out
 

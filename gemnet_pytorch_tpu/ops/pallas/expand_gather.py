@@ -37,7 +37,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .segment_outer import ROW_BLOCK, _round_up, _use_pallas
+from .segment_outer import ROW_BLOCK, _out_dtype, _round_up, _use_pallas
 
 
 def _log(kind: str, **kw):
@@ -48,17 +48,24 @@ def _log(kind: str, **kw):
 
 
 def _pick_w(n_segments: int) -> int | None:
-    for w in (512, 256, 128):
+    # narrowest admissible block first: the per-chunk one-hot build is
+    # (W, RB) VPU work, and W=512 made it the kernel's dominant cost
+    # (~0.3 of 0.49 ms/call at bench shapes, round-5 trace); W=128 is one
+    # lane tile — minimal one-hot work at a slightly longer grid
+    for w in (128, 256, 512):
         if n_segments % w == 0 and n_segments >= w:
             return w
     return None
 
 
 def _segsum_xla(xp, sorted_ids, n_segments):
-    return jax.ops.segment_sum(
+    out = jax.ops.segment_sum(
         xp.astype(jnp.float32), sorted_ids, num_segments=n_segments,
         indices_are_sorted=True,
     )
+    # same output-dtype contract as the Pallas kernel: bf16 rows round the
+    # fp32 sums at the store (the consumer casts to the row dtype anyway)
+    return out.astype(_out_dtype(jnp.dtype(xp.dtype)))
 
 
 def _segsum_pallas(xp, sorted_ids, n_segments, interpret=False):
@@ -86,8 +93,11 @@ def _segsum_pallas(xp, sorted_ids, n_segments, interpret=False):
         [sorted_ids.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**30))]
     ).reshape(1, -1)
     bounds = jnp.arange(0, n_segments + W, W, dtype=jnp.int32)
+    # scan_unrolled: the default 'scan' method is a serial while-loop
+    # (~1.9 ms/step at bench shapes — see segment_outer._fine_splits)
     splits = jnp.searchsorted(
-        sorted_ids.astype(jnp.int32), bounds, side="left"
+        sorted_ids.astype(jnp.int32), bounds, side="left",
+        method="scan_unrolled",
     ).astype(jnp.int32)
 
     precision = (
@@ -143,7 +153,7 @@ def _segsum_pallas(xp, sorted_ids, n_segments, interpret=False):
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
-        out_ref[...] = acc[...]
+        out_ref[...] = acc[...].astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -165,7 +175,7 @@ def _segsum_pallas(xp, sorted_ids, n_segments, interpret=False):
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Mp, n_segments), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Mp, n_segments), _out_dtype(sdt)),
         interpret=interpret,
     )(splits, ids_k, x_k)
     return out[:M].T

@@ -157,6 +157,20 @@ def _stream_dtype(*arrays) -> jnp.dtype:
     return jnp.dtype(jnp.float32)
 
 
+def _out_dtype(sdt) -> jnp.dtype:
+    """Forward-output dtype: bf16 when the streams are bf16 (the consumers —
+    bilinear's 'eis,sem->eim' einsum, the expand-gather backward — cast the
+    fp32 accumulator output to bf16 immediately anyway; rounding at the
+    kernel store is bit-identical and halves the output write+read traffic,
+    ~2 ms/step at bench shapes, round-5 trace). Accumulation stays fp32 in
+    VMEM; fp32 streams keep fp32 outputs."""
+    return (
+        jnp.dtype(jnp.bfloat16)
+        if jnp.dtype(sdt) == jnp.bfloat16
+        else jnp.dtype(jnp.float32)
+    )
+
+
 def _precision_for(sdt) -> jax.lax.Precision:
     """MXU contraction precision from the stream dtype. fp32 streams get
     HIGHEST: Mosaic runs the multi-pass bf16 decomposition so pallas == the
@@ -173,10 +187,16 @@ def _precision_for(sdt) -> jax.lax.Precision:
 
 def _fine_splits(seg_ids, n_segments: int, w: int):
     """First-row index for every W segment ids, computed in-graph (sorted
-    input; XLA CSEs the duplicates across a train step's kernel calls)."""
+    input; XLA CSEs the duplicates across a train step's kernel calls).
+
+    method="scan_unrolled": jnp.searchsorted's default 'scan' method lowers
+    to a serial lax.scan while-loop that cost ~1.9 ms/step on the bench quad
+    space (round-5 trace, %while.314); the unrolled binary search is log2(n)
+    tiny vectorized gathers instead (~0.01 ms)."""
     bounds = jnp.arange(0, n_segments + w, w, dtype=jnp.int32)
     return jnp.searchsorted(
-        seg_ids.astype(jnp.int32), bounds, side="left"
+        seg_ids.astype(jnp.int32), bounds, side="left",
+        method="scan_unrolled",
     ).astype(jnp.int32)
 
 
@@ -195,12 +215,14 @@ def _use_pallas(impl: Implementation) -> bool:
 
 def _outer_sum_xla(a, b, seg_ids, n_segments):
     # fp32 products + accumulation regardless of input dtype (output contract:
-    # (S, nSeg, M) float32, matching the Pallas kernels' fp32 accumulators)
+    # (S, nSeg, M) in _out_dtype(streams) — fp32, or bf16 rounded at store
+    # for bf16 streams, matching the Pallas kernels' fp32 VMEM accumulators)
     outer = (
         a.astype(jnp.float32)[:, :, None] * b.astype(jnp.float32)[:, None, :]
     ).reshape(a.shape[0], -1)
     out = jax.ops.segment_sum(outer, seg_ids, num_segments=n_segments)
-    return out.reshape(n_segments, a.shape[1], b.shape[1]).transpose(1, 0, 2)
+    out = out.reshape(n_segments, a.shape[1], b.shape[1]).transpose(1, 0, 2)
+    return out.astype(_out_dtype(_stream_dtype(a, b)))
 
 
 def _gather_contract_xla(cot, a, b, seg_ids):
@@ -283,7 +305,7 @@ def _fwd_kernel(splits_ref, ids_ref, a_ref, b_ref, out_ref,
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
-    out_ref[...] = acc[...]
+    out_ref[...] = acc[...].astype(out_ref.dtype)
 
 
 def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, seg_block=None,
@@ -336,7 +358,7 @@ def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, seg_block=None,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, n_segments * M), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S, n_segments * M), _out_dtype(sdt)),
         interpret=interpret,
     )(splits, ids_k, a_k, b_k)
     return out.reshape(S, n_segments, M)

@@ -147,11 +147,12 @@ def pallas_costs(census: list[dict], real_rows: dict[int, int] | None = None,
             flo, fhi = per_chunk * chunks_lo, per_chunk * chunks_hi
             # streams re-read per chunk + output written once per grid step
             rd = RB * (Sp + Mp) * isz + RB * 4
-            wr_out = (nseg // W) * S * W * M * 4
+            # out dtype follows the streams (bf16 rounded at store, round 5)
+            wr_out = (nseg // W) * S * W * M * isz
             blo = chunks_lo * rd + wr_out
             bhi = chunks_hi * rd + wr_out
             out["useful_flops"] += 2.0 * S * M * n_eff
-            out["staging_bytes_lo"] += S * nseg * M * 4  # out read back
+            out["staging_bytes_lo"] += S * nseg * M * isz  # out read back
         elif c["kind"] == "segsum":
             # sorted segment-sum (ops/pallas/expand_gather.py): single
             # (Mp, RB) x (RB, W) one-hot contraction per chunk, no a-stream,
@@ -161,12 +162,12 @@ def pallas_costs(census: list[dict], real_rows: dict[int, int] | None = None,
             per_chunk = 2.0 * Mp * W * RB
             flo, fhi = per_chunk * chunks_lo, per_chunk * chunks_hi
             rd = RB * Mp * isz + RB * 4
-            wr_out = nseg * M * 4
+            wr_out = nseg * M * isz  # out dtype follows the streams
             blo = chunks_lo * rd + wr_out
             bhi = chunks_hi * rd + wr_out
             out["useful_flops"] += 2.0 * M * n_eff
             # permuted cotangent rows written by the producer + out read
-            out["staging_bytes_lo"] += n_eff * M * isz + nseg * M * 4
+            out["staging_bytes_lo"] += n_eff * M * isz + nseg * M * isz
         else:  # bwd
             grid = -(-n // RB)
             iters_lo = max(grid, grid_used)

@@ -173,25 +173,41 @@ def op_times(trace_dir_or_file: str, module_match: str | None = None
 
 
 def categorize_op(name: str) -> str:
-    """Coarse cost category for an XLA op name (attribution buckets)."""
-    n = name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n or "pallas" in n:
+    """Coarse cost category for an XLA op event (attribution buckets).
+
+    Classifies by the HEAD op name (the `%opname.N =` prefix) plus the
+    `= <result> op-kind(` body kind — NOT by substring over the whole event
+    string, whose operand list leaks other ops' names (`%copy.5220` as an
+    operand made every consumer count as 'copy' pre-round-5)."""
+    head = name.split(" ", 1)[0].lstrip("%").lower()
+    # the op KIND appears after the result type: "... = <type> kind(..."
+    kind = ""
+    if " = " in name:
+        body = name.split(" = ", 1)[1]
+        lp = body.find("(")
+        if lp > 0:
+            kind = body[:lp].rsplit(" ", 1)[-1].lower()
+    probe = head if any(head.startswith(k) for k in (
+        "copy", "fusion", "reshape", "transpose", "bitcast", "slice",
+        "dynamic-slice", "convolution", "dot", "while", "all-", "custom-call",
+        "concatenate", "ppermute", "collective",
+    )) else (kind or head)
+    if "custom-call" in probe or "pallas" in probe or "custom-call" in kind:
         return "pallas"
-    if n.startswith("copy") or ".copy" in n or "copy-start" in n \
-            or "copy-done" in n:
+    if probe.startswith("copy"):
         return "copy"
-    if "all-to-all" in n or "all-reduce" in n or "collective" in n \
-            or "ppermute" in n or "all-gather" in n or "reduce-scatter" in n:
+    if any(k in probe for k in ("all-to-all", "all-reduce", "collective",
+                                "ppermute", "all-gather", "reduce-scatter")):
         return "collective"
-    if "fusion" in n:
+    if "fusion" in probe or "fusion" in head:
         return "fusion"
-    if "reshape" in n or "transpose" in n or "bitcast" in n:
+    if any(k in probe for k in ("reshape", "transpose", "bitcast")):
         return "reshape"
-    if "slice" in n:
+    if "slice" in probe:
         return "slice"
-    if "convolution" in n or n.startswith("dot") or ".dot" in n:
+    if "convolution" in probe or probe.startswith("dot"):
         return "dot"
-    if "infeed" in n or "outfeed" in n or "send" in n or "recv" in n:
+    if any(k in probe for k in ("infeed", "outfeed", "send", "recv")):
         return "io"
     return "other"
 
