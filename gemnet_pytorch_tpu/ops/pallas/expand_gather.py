@@ -100,10 +100,9 @@ def _segsum_pallas(xp, sorted_ids, n_segments, interpret=False):
         method="scan_unrolled",
     ).astype(jnp.int32)
 
-    precision = (
-        jax.lax.Precision.HIGHEST if sdt == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    from .segment_outer import _precision_for
+
+    precision = _precision_for(sdt)
 
     def kernel(splits_ref, ids_ref, x_ref, out_ref, x_s, ids_s, acc, sems):
         i = pl.program_id(0)
@@ -189,6 +188,11 @@ def expand_gather(table, idx, perm, sorted_ids, n_src: int,
     table: (n_src, M); idx/perm/sorted_ids: (n_rows,) int32 with
     sorted_ids == idx[perm] ascending. n_src static.
     """
+    # census hook: XLA row gathers are ROW-RATE-bound on TPU (~0.33 ms for
+    # 192512 rows in-step — round-5 trace/probe) and set a real floor term
+    # in the roofline (perf/roofline.py 'gather' kind)
+    _log("gather", n=idx.shape[0], S=1, M=table.shape[1], n_segments=n_src,
+         W=0, RB=0, dtype=str(jnp.dtype(table.dtype)))
     return table[idx]
 
 
@@ -220,6 +224,9 @@ def _sorted_segsum(x, perm, sorted_ids, idx, n_src: int,
     """sum of x rows grouped by idx (via the sorted order): the VJP of
     expand_gather. Its own VJP is expand_gather again (dx[j] = g[idx[j]]),
     closing the double-backward recursion."""
+    # the permute is itself a row-rate-bound XLA gather (roofline floor term)
+    _log("gather", n=x.shape[0], S=1, M=x.shape[1], n_segments=x.shape[0],
+         W=0, RB=0, dtype=str(jnp.dtype(x.dtype)))
     xp = x[perm]
     if _use_pallas(implementation) and _pick_w(n_src) is not None:
         return _segsum_pallas(xp, sorted_ids, n_src)

@@ -177,12 +177,15 @@ def _precision_for(sdt) -> jax.lax.Precision:
     exact-VPU XLA fallback (the v5e MXU otherwise rounds inputs to bf16,
     ~3e-3 rel err on hardware, observed by scripts/tpu_checks.py). bf16
     streams get DEFAULT — a single MXU pass is already exact for bf16
-    operands."""
-    return (
-        jax.lax.Precision.HIGHEST
-        if jnp.dtype(sdt) == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    operands.
+
+    (Round-5 note: a 3-pass middle mode via Precision.HIGH is NOT
+    available — Mosaic's dot lowering supports only DEFAULT and HIGHEST
+    ('Unsupported dot precision: HIGH', verified on hardware); a faster
+    fp32 mode needs the manual hi/lo bf16-split 3-pass decomposition.)"""
+    if jnp.dtype(sdt) != jnp.float32:
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
 
 
 def _fine_splits(seg_ids, n_segments: int, w: int):

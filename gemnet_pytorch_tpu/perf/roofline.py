@@ -64,6 +64,10 @@ DEFAULT_PEAKS = {
     "mxu_bf16": 197e12,
     "mxu_f32_highest": 197e12 / 6,
     "hbm": 819e9,
+    # TPU row-gather rate (rows/s): measured in-step on v5e (round-5 trace:
+    # 192512-row gathers at ~0.33 ms = ~583 M rows/s; the standalone probe
+    # scripts/gather_probe.py sees ~190 M rows/s — in-step is the capability)
+    "gather_rows_per_s": 583e6,
 }
 
 
@@ -122,9 +126,19 @@ def pallas_costs(census: list[dict], real_rows: dict[int, int] | None = None,
         "f32_flops_lo": 0.0, "f32_flops_hi": 0.0,
         "bf16_flops_lo": 0.0, "bf16_flops_hi": 0.0,
         "bytes_lo": 0.0, "bytes_hi": 0.0, "staging_bytes_lo": 0.0,
-        "useful_flops": 0.0, "n_calls": len(census),
+        "useful_flops": 0.0, "gather_rows": 0.0,
+        "n_calls": sum(1 for c in census if c["kind"] != "gather"),
     }
     for c in census:
+        if c["kind"] == "gather":
+            # XLA row gather / permute at an expand_gather site: row-rate
+            # bound on TPU (peaks['gather_rows_per_s'] floor term) plus its
+            # mandatory read+write traffic
+            n_eff = real_rows.get(c["n"], c["n"])
+            isz = _itemsize(c["dtype"])
+            out["gather_rows"] += n_eff
+            out["staging_bytes_lo"] += 2.0 * n_eff * c["M"] * isz
+            continue
         n, S, M, W, RB = c["n"], c["S"], c["M"], c["W"], c["RB"]
         nseg = c["n_segments"]
         isz = _itemsize(c["dtype"])
@@ -236,7 +250,9 @@ class Roofline:
             # round-5 floor: live buffers + per-kernel minimum stream
             # traffic (every Pallas call must read its row streams and
             # write its output at least once: bytes_lo) + the per-call
-            # XLA-side stagings that can never be shared (staging_bytes_lo).
+            # XLA-side stagings that can never be shared (staging_bytes_lo)
+            # + the gather row-rate term (TPU row gathers are rate-bound,
+            # not bandwidth-bound — measured ~583 M rows/s in-step).
             # The pre-round-5 live-buffers-only floor sat ~1000x below the
             # accounting hi bound — vacuous for steering (VERDICT r4 #6).
             memory = (
@@ -244,7 +260,11 @@ class Roofline:
             ) / self.peaks["hbm"]
         else:
             memory = (self.xla_bytes + p["bytes_hi"]) / self.peaks["hbm"]
-        return max(compute, memory)
+        # row-rate term applies to BOTH bounds (keeps lo <= hi even for tiny
+        # programs where the rate floor exceeds the accounting bytes)
+        gather = p.get("gather_rows", 0.0) / self.peaks.get(
+            "gather_rows_per_s", 583e6)
+        return max(compute, memory, gather)
 
     def total_flops(self, bound: str = "hi") -> float:
         p = self.pallas

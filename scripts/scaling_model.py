@@ -16,9 +16,14 @@ Model
 -----
 T_comp(S) = T1 * (f0 + (1 - f0) * local_rows(S) / rows(1))
     T1  = single-chip train-step time (measured; bench.py median, or the
-          roofline SOL for a lower bound), f0 = non-sharded fraction
-          (replicated atom/preamble/optimizer work; the atom spaces carry no
-          bilinear FLOPs, measured optimizer 0.05 ms -> default 0.10).
+          roofline SOL for a lower bound), f0 = non-sharded fraction.
+          f0 is MEASURED since round 5 (0.006 fp32 / 0.009 bf16): per-op
+          trace attribution classed by shape — row-space (halo-shardable:
+          edge/trip/intm/quad and their staged views) vs replicated
+          (optimizer over the 2.16M flat params, atom/mol spaces). The
+          round-2..4 default 0.10 was an unmeasured guess, 15x pessimistic:
+          the basis/rbf-MLP preamble is EDGE-space work that halo already
+          shards with the edges.
 T_comm(S) = bytes_per_shard(S) / BW_ici
     bytes/shard/step = 4*nb*(S*h_e*ee + S*h_i*eq)*4B   [halo all_to_alls]
                      + 36*atoms_pad*emb_atom*4B        [atom-space psums]
@@ -98,8 +103,12 @@ def main():
     ap.add_argument("--links", type=float, default=1.0,
                     help="usable ICI links per chip (v5e 2D torus has 4; a "
                     "bidirectional ring a2a uses 2; default 1 = conservative)")
-    ap.add_argument("--f0", type=float, default=0.10,
-                    help="non-sharded compute fraction")
+    ap.add_argument("--f0", type=float, default=0.008,
+                    help="non-sharded compute fraction. Default = MEASURED "
+                    "(round 5): op-level trace attribution of the bench "
+                    "step classed by row-space vs replicated shapes gives "
+                    "0.006 (fp32) / 0.009 (bf16) — optimizer + atom-space "
+                    "work; the basis preamble is edge-space and shards")
     ap.add_argument("--max-s", type=int, default=64)
     args = ap.parse_args()
 
@@ -117,7 +126,8 @@ def main():
     bw = args.ici_gbps * 1e9 / 8.0 * args.links
 
     t1 = {"small": args.t1_small_ms, "large": args.t1_large_ms}
-    for rec in ("BENCH_r03.json", "BENCH_r02.json"):
+    for rec in ("BENCH_r05.json", "BENCH_r04.json", "BENCH_r03.json",
+                "BENCH_r02.json"):
         if os.path.exists(rec) and (t1["small"] is None or t1["large"] is None):
             j = json.load(open(rec))
             # agg/s -> ms via the recorded real row counts of the bench batch

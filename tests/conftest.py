@@ -4,6 +4,14 @@ import sys
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding is exercised
 # without TPU hardware; set before any jax import.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Silence XLA:CPU's cpu_aot_loader feature-mismatch ERROR logs: reloading ANY
+# persistent-cache entry trips them because XLA bakes pseudo-features
+# (+prefer-no-scatter/+prefer-no-gather) into the AOT target string and the
+# loader compares it against real CPUID, which never has them — cosmetic on a
+# host-keyed cache dir (the real cross-machine ISA hazard is fixed by
+# _host_cpu_tag below: compile features == host features modulo the pseudo
+# flags). Native FATALs and python-level compile errors still surface.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
