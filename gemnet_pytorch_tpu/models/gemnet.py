@@ -375,6 +375,14 @@ def finalize_outputs(cfg: ModelConfig, batch, E_a, F_ca, V_ca):
 
 
 def make_model(cfg: ModelConfig) -> GemNet:
+    if cfg.matmul_precision == "high":
+        # fp32 bilinear kernels run the manual 3-pass bf16-split mode (~2x
+        # MXU rate, ~1e-6 rel err; Mosaic has no Precision.HIGH). Process-
+        # wide flag: custom-VJP backward rules trace outside the forward's
+        # precision context (ops/pallas/segment_outer.FP32_SPLIT3).
+        from ..ops.pallas.segment_outer import set_fp32_split3
+
+        set_fp32_split3(True)
     return GemNet(config=cfg)
 
 

@@ -157,6 +157,51 @@ def _stream_dtype(*arrays) -> jnp.dtype:
     return jnp.dtype(jnp.float32)
 
 
+# Manual 3-pass fp32 mode ("split3"): Mosaic's dot lowering has no
+# Precision.HIGH (only DEFAULT / 6-pass HIGHEST — verified on hardware,
+# round 5), so the classic bf16x3 decomposition is built by hand: each fp32
+# stream is staged as hi = bf16(x) plus lo = bf16(x - hi) — SAME total DMA
+# bytes as fp32 — and every data-data contraction runs as three
+# DEFAULT-precision MXU passes  a_hi.b_hi + a_hi.b_lo + a_lo.b_hi  with
+# fp32 accumulation: ~2x the fp32-HIGHEST MXU rate at ~1e-6 rel err
+# (vs ~1e-7). Applies ONLY to the bilinear segment kernels; the geometry
+# segsums (ops/pallas/expand_gather.py) stay exact — they sit on the force
+# path's double backward. Opt-in: ModelConfig.matmul_precision="high"
+# (models.make_model sets the process-wide flag; the XLA fallback path
+# stays exact fp32, so CPU tests and reference parity are unaffected).
+FP32_SPLIT3 = False
+
+
+def set_fp32_split3(on: bool) -> None:
+    """Enable/disable the 3-pass fp32 kernel mode process-wide (affects
+    traces made after the call). See the FP32_SPLIT3 comment."""
+    global FP32_SPLIT3
+    FP32_SPLIT3 = bool(on)
+
+
+def _use_split3(sdt) -> bool:
+    return FP32_SPLIT3 and jnp.dtype(sdt) == jnp.float32
+
+
+def _split_hi_lo(x):
+    """f32 -> (bf16 hi, bf16 lo) with hi + lo covering ~16 mantissa bits.
+
+    The split is done by MASKING the low mantissa bits, not by a
+    bf16-roundtrip: XLA's algebraic simplifier elides f32(bf16(x)) as a
+    no-op convert pair, which silently turned lo into x - x = 0 on hardware
+    (the 3-pass collapsed to single-pass bf16, rel err 3e-3 — caught by the
+    round-5 hardware check). The masked hi keeps sign+exponent+7 mantissa
+    bits, exactly representable in bf16; lo = x - hi is exact in f32 and
+    its bf16 rounding carries ~8 more bits."""
+    xf = x.astype(jnp.float32)
+    xi = jax.lax.bitcast_convert_type(xf, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        xi & jnp.uint32(0xFFFF0000), jnp.float32)
+    hi = hi_f32.astype(jnp.bfloat16)  # exact (mantissa already truncated)
+    lo = (xf - hi_f32).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _out_dtype(sdt) -> jnp.dtype:
     """Forward-output dtype: bf16 when the streams are bf16 (the consumers —
     bilinear's 'eis,sem->eim' einsum, the expand-gather backward — cast the
@@ -241,7 +286,8 @@ def _gather_contract_xla(cot, a, b, seg_ids):
 
 
 def _fwd_kernel(splits_ref, ids_ref, a_ref, b_ref, out_ref,
-                a_s, b_s, ids_s, acc, sems, *, S, M, W, RB, precision, sdt):
+                a_s, b_s, ids_s, acc, sems, *, S, M, W, RB, precision, sdt,
+                split3=False, SpH=0, MpH=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -296,15 +342,30 @@ def _fwd_kernel(splits_ref, ids_ref, a_ref, b_ref, out_ref,
         # fully tiled) instead of M (32, a quarter-tile).
         # (scripts/kernel_bench.py sweeps this on hardware.)
         selM = jax.lax.broadcast_in_dim(sel, (W, M, RB), (0, 2))
-        b3 = jax.lax.broadcast_in_dim(b_s[cur, :M], (W, M, RB), (1, 2))
-        z = (selM * b3).reshape(W * M, RB)
-        # acc/out stay (S, W·M): splitting the 2048-lane dim into (W, M)
-        # inside the kernel is an unsupported Mosaic relayout; the wrapper
-        # reshapes the contiguous (S, nSeg·M) output for free
-        acc[...] += jax.lax.dot_general(
-            a_s[cur, :S], z, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+
+        def contract(a2, z2):
+            # acc/out stay (S, W·M): splitting the 2048-lane dim into
+            # (W, M) inside the kernel is an unsupported Mosaic relayout;
+            # the wrapper reshapes the contiguous (S, nSeg·M) output free
+            return jax.lax.dot_general(
+                a2, z2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+
+        if split3:
+            # manual 3-pass fp32 (see FP32_SPLIT3): hi/lo halves live at
+            # row offsets 0 / SpH (MpH) of the bf16-staged streams
+            ah, al = a_s[cur, :S], a_s[cur, SpH:SpH + S]
+            bh = jax.lax.broadcast_in_dim(b_s[cur, :M], (W, M, RB), (1, 2))
+            bl = jax.lax.broadcast_in_dim(
+                b_s[cur, MpH:MpH + M], (W, M, RB), (1, 2))
+            zh = (selM * bh).reshape(W * M, RB)
+            zl = (selM * bl).reshape(W * M, RB)
+            acc[...] += contract(ah, zh) + contract(ah, zl) + contract(al, zh)
+        else:
+            b3 = jax.lax.broadcast_in_dim(b_s[cur, :M], (W, M, RB), (1, 2))
+            z = (selM * b3).reshape(W * M, RB)
+            acc[...] += contract(a_s[cur, :S], z)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -319,17 +380,31 @@ def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, seg_block=None,
     n, S = a.shape
     M = b.shape[1]
     sdt = _stream_dtype(a, b)
-    sub = 16 if sdt == jnp.bfloat16 else 8  # sublane tile for the stream dtype
+    split3 = _use_split3(sdt)
+    kdt = jnp.dtype(jnp.bfloat16) if split3 else sdt  # staged dtype
+    sub = 16 if kdt == jnp.bfloat16 else 8  # sublane tile for the stage dtype
     W, RB = _choose_blocks(n, n_segments, seg_block)
     assert n_segments % W == 0, (n_segments, W)
     _log_call("fwd", n=n, S=S, M=M, n_segments=n_segments, W=W, RB=RB,
-              dtype=str(sdt))
+              dtype=("split3" if split3 else str(sdt)))
     Sp = _round_up(S, sub)
     Mp = _round_up(M, sub)
-    # feature-major streams with a tail guard chunk (reads may overhang)
+    # feature-major streams with a tail guard chunk (reads may overhang);
+    # split3 stacks the bf16 hi half at rows [0:S] and the lo half at
+    # [Sp:Sp+S] — same total bytes as the fp32 staging it replaces
     pad = RB
-    a_k = jnp.zeros((Sp, n + pad), sdt).at[:S, :n].set(a.T.astype(sdt))
-    b_k = jnp.zeros((Mp, n + pad), sdt).at[:M, :n].set(b.T.astype(sdt))
+    SpA = 2 * Sp if split3 else Sp
+    MpA = 2 * Mp if split3 else Mp
+    if split3:
+        ah, al = _split_hi_lo(a.T)
+        bh, bl = _split_hi_lo(b.T)
+        a_k = (jnp.zeros((SpA, n + pad), kdt)
+               .at[:S, :n].set(ah).at[Sp:Sp + S, :n].set(al))
+        b_k = (jnp.zeros((MpA, n + pad), kdt)
+               .at[:M, :n].set(bh).at[Mp:Mp + M, :n].set(bl))
+    else:
+        a_k = jnp.zeros((SpA, n + pad), kdt).at[:S, :n].set(a.T.astype(kdt))
+        b_k = jnp.zeros((MpA, n + pad), kdt).at[:M, :n].set(b.T.astype(kdt))
     ids_k = jnp.concatenate(
         [seg_ids.astype(jnp.int32), jnp.full((pad,), jnp.int32(2**30))]
     ).reshape(1, -1)
@@ -347,8 +422,8 @@ def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, seg_block=None,
             (S, W * M), lambda i, *_: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, Sp, RB), sdt),
-            pltpu.VMEM((2, Mp, RB), sdt),
+            pltpu.VMEM((2, SpA, RB), kdt),
+            pltpu.VMEM((2, MpA, RB), kdt),
             pltpu.VMEM((2, 1, RB), jnp.int32),
             pltpu.VMEM((S, W * M), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
@@ -356,7 +431,9 @@ def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, seg_block=None,
     )
     kernel = functools.partial(
         _fwd_kernel, S=S, M=M, W=W, RB=RB,
-        precision=_precision_for(sdt), sdt=sdt,
+        precision=(jax.lax.Precision.DEFAULT if split3
+                   else _precision_for(sdt)),
+        sdt=kdt, split3=split3, SpH=Sp, MpH=Mp,
     )
     out = pl.pallas_call(
         kernel,
@@ -369,7 +446,7 @@ def _outer_sum_pallas(a, b, seg_ids, row_splits, n_segments, seg_block=None,
 
 def _bwd_kernel(blo_ref, bhi_ref, ids_ref, a_ref, b_ref, cot_ref,
                 da_ref, db_ref, cot_s, da_acc, db_acc, sems,
-                *, S, M, W, RB, precision, sdt):
+                *, S, M, W, RB, precision, sdt, split3=False, SpH=0, MpH=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -406,20 +483,43 @@ def _bwd_kernel(blo_ref, bhi_ref, ids_ref, a_ref, b_ref, cot_ref,
         dma(w).wait()
         sel = (ids[None, :] == w * W + jax.lax.broadcasted_iota(
             jnp.int32, (W, RB), 0)).astype(sdt)  # (W, B)
-        cot2 = cot_s[jax.lax.rem(w, 2), :S]  # (S, W*M)
-        # da[s, t] = Σ_wm cot2[s, wm] · sel[w,t]·b[m,t]  (K = W·M)
-        b3 = jax.lax.broadcast_in_dim(b_c[:M], (W, M, RB), (1, 2))
         sel_wm = jax.lax.broadcast_in_dim(sel, (W, M, RB), (0, 2))
-        p2 = (sel_wm * b3).reshape(W * M, RB)
-        da_acc[:S] += jax.lax.dot(
-            cot2, p2, preferred_element_type=jnp.float32, precision=precision,
-        )  # (S, B)
-        # G[(w,m), t] = Σ_s cot2[s, wm] · a[s, t]  (K = S), then
-        # db[m, t] = Σ_w sel[w,t] · G[(w,m), t]
-        g = jax.lax.dot_general(
-            cot2, a_c[:S], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        ).reshape(W, M, RB)
+        slot = jax.lax.rem(w, 2)
+
+        def dot_k(x, y):  # contract over the shared K (axis 1 of both)
+            return jax.lax.dot(
+                x, y, preferred_element_type=jnp.float32,
+                precision=precision)
+
+        def dot_s(x, y):  # contract over axis 0 of both (K = S)
+            return jax.lax.dot_general(
+                x, y, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
+        if split3:
+            # manual 3-pass fp32 (FP32_SPLIT3): hi/lo at row offsets 0/SpH
+            c2h, c2l = cot_s[slot, :S], cot_s[slot, SpH:SpH + S]
+            bh = jax.lax.broadcast_in_dim(b_c[:M], (W, M, RB), (1, 2))
+            bl = jax.lax.broadcast_in_dim(
+                b_c[MpH:MpH + M], (W, M, RB), (1, 2))
+            p2h = (sel_wm * bh).reshape(W * M, RB)
+            p2l = (sel_wm * bl).reshape(W * M, RB)
+            # da[s, t] = Σ_wm cot2[s, wm] · sel[w,t]·b[m,t]  (K = W·M)
+            da_acc[:S] += (dot_k(c2h, p2h) + dot_k(c2h, p2l)
+                           + dot_k(c2l, p2h))
+            # G[(w,m), t] = Σ_s cot2[s, wm] · a[s, t]  (K = S)
+            ah, al = a_c[:S], a_c[SpH:SpH + S]
+            g = (dot_s(c2h, ah) + dot_s(c2h, al)
+                 + dot_s(c2l, ah)).reshape(W, M, RB)
+        else:
+            cot2 = cot_s[slot, :S]  # (S, W*M)
+            # da[s, t] = Σ_wm cot2[s, wm] · sel[w,t]·b[m,t]  (K = W·M)
+            b3 = jax.lax.broadcast_in_dim(b_c[:M], (W, M, RB), (1, 2))
+            p2 = (sel_wm * b3).reshape(W * M, RB)
+            da_acc[:S] += dot_k(cot2, p2)  # (S, B)
+            # G[(w,m), t] = Σ_s cot2[s, wm] · a[s, t]  (K = S), then
+            # db[m, t] = Σ_w sel[w,t] · G[(w,m), t]
+            g = dot_s(cot2, a_c[:S]).reshape(W, M, RB)
         sel_f = jax.lax.broadcast_in_dim(
             sel.astype(jnp.float32), (W, M, RB), (0, 2))
         db_acc[:M] += jnp.sum(sel_f * g, axis=0)  # (M, B)
@@ -439,19 +539,31 @@ def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, seg_block=None,
     M = b.shape[1]
     n_segments = cot.shape[1]
     sdt = _stream_dtype(a, b)
-    sub = 16 if sdt == jnp.bfloat16 else 8
+    split3 = _use_split3(sdt)
+    kdt = jnp.dtype(jnp.bfloat16) if split3 else sdt
+    sub = 16 if kdt == jnp.bfloat16 else 8
     W = _bwd_seg_block(n, n_segments, M, seg_block)
     if W is None:  # no lane-aligned W divides n_segments (exotic shapes)
         return _gather_contract_xla(cot, a, b, seg_ids)
     RB = ROW_BLOCK
     _log_call("bwd", n=n, S=S, M=M, n_segments=n_segments, W=W, RB=RB,
-              dtype=str(sdt))
+              dtype=("split3" if split3 else str(sdt)))
     Sp = _round_up(S, sub)
     Mp = _round_up(M, sub)
     n_pad = _round_up(n, RB)
     grid = n_pad // RB
-    a_k = jnp.zeros((Sp, n_pad), sdt).at[:S, :n].set(a.T.astype(sdt))
-    b_k = jnp.zeros((Mp, n_pad), sdt).at[:M, :n].set(b.T.astype(sdt))
+    SpA = 2 * Sp if split3 else Sp  # staged height (hi/lo halves stacked)
+    MpA = 2 * Mp if split3 else Mp
+    if split3:
+        ah, al = _split_hi_lo(a.T)
+        bh, bl = _split_hi_lo(b.T)
+        a_k = (jnp.zeros((SpA, n_pad), kdt)
+               .at[:S, :n].set(ah).at[Sp:Sp + S, :n].set(al))
+        b_k = (jnp.zeros((MpA, n_pad), kdt)
+               .at[:M, :n].set(bh).at[Mp:Mp + M, :n].set(bl))
+    else:
+        a_k = jnp.zeros((SpA, n_pad), kdt).at[:S, :n].set(a.T.astype(kdt))
+        b_k = jnp.zeros((MpA, n_pad), kdt).at[:M, :n].set(b.T.astype(kdt))
     ids_k = jnp.concatenate(
         [seg_ids.astype(jnp.int32),
          jnp.full((n_pad - n,), jnp.int32(2**30))]
@@ -466,21 +578,24 @@ def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, seg_block=None,
     blo = jnp.minimum(first // W, n_segments // W)
     bhi = last // W + 1
     # sublane-pad the cotangent rows (DMA slices need tile-aligned heights)
-    cot_k = jnp.zeros((Sp, n_segments * M), cot.dtype if sdt != jnp.bfloat16
-                      else jnp.bfloat16)
-    cot_k = cot_k.at[:S].set(
-        (cot.astype(sdt) if sdt == jnp.bfloat16 else cot).reshape(
-            S, n_segments * M
-        )
-    )
+    cot2d = cot.reshape(S, n_segments * M)
+    if split3:
+        ch, cl = _split_hi_lo(cot2d)
+        cot_k = (jnp.zeros((SpA, n_segments * M), kdt)
+                 .at[:S].set(ch).at[Sp:Sp + S].set(cl))
+    else:
+        cot_k = jnp.zeros((SpA, n_segments * M), cot.dtype
+                          if kdt != jnp.bfloat16 else jnp.bfloat16)
+        cot_k = cot_k.at[:S].set(
+            cot2d.astype(kdt) if kdt == jnp.bfloat16 else cot2d)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, RB), lambda j, *_: (0, j)),   # ids
-            pl.BlockSpec((Sp, RB), lambda j, *_: (0, j)),  # a
-            pl.BlockSpec((Mp, RB), lambda j, *_: (0, j)),  # b
+            pl.BlockSpec((SpA, RB), lambda j, *_: (0, j)),  # a
+            pl.BlockSpec((MpA, RB), lambda j, *_: (0, j)),  # b
             pl.BlockSpec(memory_space=pl.ANY),             # cot (inner DMA)
         ],
         out_specs=(
@@ -488,7 +603,7 @@ def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, seg_block=None,
             pl.BlockSpec((Mp, RB), lambda j, *_: (0, j)),  # db
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, Sp, W * M), cot_k.dtype),
+            pltpu.VMEM((2, SpA, W * M), cot_k.dtype),
             pltpu.VMEM((Sp, RB), jnp.float32),
             pltpu.VMEM((Mp, RB), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -496,7 +611,9 @@ def _gather_contract_pallas(cot, a, b, seg_ids, row_splits, seg_block=None,
     )
     kernel = functools.partial(
         _bwd_kernel, S=S, M=M, W=W, RB=RB,
-        precision=_precision_for(sdt), sdt=sdt,
+        precision=(jax.lax.Precision.DEFAULT if split3
+                   else _precision_for(sdt)),
+        sdt=kdt, split3=split3, SpH=Sp, MpH=Mp,
     )
     da, db = pl.pallas_call(
         kernel,

@@ -104,7 +104,19 @@ def kernel_census(fn: Callable, *args) -> list[dict]:
 
 
 def _itemsize(dtype: str) -> int:
+    # "split3" (manual 3-pass fp32 mode) stages two bf16 halves = 4 bytes
     return 2 if "bfloat16" in dtype else 4
+
+
+def _flop_class(dtype: str) -> tuple[str, float]:
+    """(peak class, pass multiplier) for a census dtype: bf16 single pass,
+    fp32 at the measured HIGHEST (6-pass) peak, split3 = 3 explicit
+    DEFAULT-precision passes at the bf16 peak."""
+    if "bfloat16" in dtype:
+        return "bf16", 1.0
+    if dtype == "split3":
+        return "bf16", 3.0
+    return "f32", 1.0
 
 
 def pallas_costs(census: list[dict], real_rows: dict[int, int] | None = None,
@@ -200,9 +212,9 @@ def pallas_costs(census: list[dict], real_rows: dict[int, int] | None = None,
             out["staging_bytes_lo"] += (
                 S * nseg * M * cot_isz + (S + M) * n_eff * isz
             )
-        cls = "bf16" if isz == 2 else "f32"
-        out[f"{cls}_flops_lo"] += flo
-        out[f"{cls}_flops_hi"] += fhi
+        cls, passes = _flop_class(c["dtype"])
+        out[f"{cls}_flops_lo"] += flo * passes
+        out[f"{cls}_flops_hi"] += fhi * passes
         out["bytes_lo"] += blo
         out["bytes_hi"] += bhi
     return out

@@ -35,7 +35,11 @@ def trace_one(dtype: str, kind: str, outdir: str):
     from gemnet_pytorch_tpu.training import Trainer
 
     cfg_dict = load_yaml_config("config.yaml")
-    cfg_dict["compute_dtype"] = dtype
+    if dtype == "float32_high":  # fp32 + manual 3-pass kernels (FP32_SPLIT3)
+        cfg_dict["compute_dtype"] = "float32"
+        cfg_dict["matmul_precision"] = "high"
+    else:
+        cfg_dict["compute_dtype"] = dtype
     cfg = ModelConfig.from_dict(cfg_dict)
     tcfg = TrainConfig.from_dict(cfg_dict)
     model = make_model(cfg)

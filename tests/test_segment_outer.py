@@ -128,3 +128,31 @@ def test_second_order_differentiation(rng):
     np.testing.assert_allclose(
         np.asarray(gg_custom), np.asarray(gg_plain), rtol=1e-3, atol=1e-4
     )
+
+
+def test_split3_interpret_matches_xla(rng):
+    """Manual 3-pass fp32 mode (FP32_SPLIT3): fwd + bwd interpret kernels
+    match the exact-fp32 XLA oracle to the bf16x3 error bound (~1e-5 rel;
+    the default mode stays bit-tighter — see the FP32_SPLIT3 comment)."""
+    import jax.numpy as jnp
+
+    import gemnet_pytorch_tpu.ops.pallas.segment_outer as so
+
+    a, b, ids, splits, E = _make_case(rng)
+    ja, jb, jids, jsp = map(jnp.asarray, (a, b, ids, splits))
+    ref = np.asarray(so._outer_sum_xla(ja, jb, jids, E))
+    cot = rng.normal(size=ref.shape).astype(np.float32)
+    da_ref, db_ref = map(np.asarray,
+                         so._gather_contract_xla(jnp.asarray(cot), ja, jb, jids))
+    so.set_fp32_split3(True)
+    try:
+        out = np.asarray(
+            so._outer_sum_pallas(ja, jb, jids, jsp, E, interpret=True))
+        da, db = map(np.asarray, so._gather_contract_pallas(
+            jnp.asarray(cot), ja, jb, jids, jsp, interpret=True))
+    finally:
+        so.set_fp32_split3(False)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, atol=3e-5 * scale)
+    np.testing.assert_allclose(da, da_ref, atol=3e-5 * np.abs(da_ref).max())
+    np.testing.assert_allclose(db, db_ref, atol=3e-5 * np.abs(db_ref).max())
