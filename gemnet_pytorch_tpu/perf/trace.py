@@ -179,14 +179,19 @@ def categorize_op(name: str) -> str:
     `= <result> op-kind(` body kind — NOT by substring over the whole event
     string, whose operand list leaks other ops' names (`%copy.5220` as an
     operand made every consumer count as 'copy' pre-round-5)."""
+    import re
+
     head = name.split(" ", 1)[0].lstrip("%").lower()
-    # the op KIND appears after the result type: "... = <type> kind(..."
+    # the op KIND appears after the result type: "... = <type> kind(...".
+    # Tuple result types carry parens of their own ("(bf16[...], ...)"), so
+    # match the first lowercase word immediately followed by "(" — layout
+    # annotations like T(8,128) start uppercase/digits and don't match.
     kind = ""
     if " = " in name:
         body = name.split(" = ", 1)[1]
-        lp = body.find("(")
-        if lp > 0:
-            kind = body[:lp].rsplit(" ", 1)[-1].lower()
+        m = re.search(r"\s([a-z][a-z0-9\-_]*)\(", " " + body)
+        if m:
+            kind = m.group(1).lower()
     probe = head if any(head.startswith(k) for k in (
         "copy", "fusion", "reshape", "transpose", "bitcast", "slice",
         "dynamic-slice", "convolution", "dot", "while", "all-", "custom-call",
