@@ -218,15 +218,34 @@ def _eg_bwd(n_src, implementation, res, cot):
 expand_gather.defvjp(_eg_fwd, _eg_bwd)
 
 
+# Above this many source bytes, skip the permute and scatter-add directly:
+# the permute's random row reads stop being served from XLA's VMEM staging
+# once the source outgrows it, and the gather rate collapses ~16x (large
+# bench quad space, 2.45M x 32 bf16 = 157 MB: permute 67.7 ms standalone at
+# ~36 M rows/s vs an unsorted scatter-add at 42.8 ms; in-step the scatter
+# runs 33.6 ms — large step 842 -> 616 ms. At the small shape, 12.3 MB,
+# the permute runs 0.33 ms and the sorted path wins 3x. Wide rows only
+# (M >= 8): the fp32 geometry streams are narrow (M=3/4), their
+# column-major permutes are only ~2x off row rate and beat the scatter at
+# every measured size.)
+_PERMUTE_MAX_BYTES = 32 * 1024 * 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _sorted_segsum(x, perm, sorted_ids, idx, n_src: int,
                    implementation: str = "auto"):
     """sum of x rows grouped by idx (via the sorted order): the VJP of
     expand_gather. Its own VJP is expand_gather again (dx[j] = g[idx[j]]),
     closing the double-backward recursion."""
+    n, M = x.shape
+    if M >= 8 and n * M * jnp.dtype(x.dtype).itemsize > _PERMUTE_MAX_BYTES:
+        # huge row space: unsorted scatter-add beats permute+sorted-sum
+        out = jax.ops.segment_sum(
+            x.astype(jnp.float32), idx, num_segments=n_src)
+        return out.astype(_out_dtype(jnp.dtype(x.dtype)))
     # the permute is itself a row-rate-bound XLA gather (roofline floor term)
-    _log("gather", n=x.shape[0], S=1, M=x.shape[1], n_segments=x.shape[0],
-         W=0, RB=0, dtype=str(jnp.dtype(x.dtype)))
+    _log("gather", n=n, S=1, M=M, n_segments=n, W=0, RB=0,
+         dtype=str(jnp.dtype(x.dtype)))
     xp = x[perm]
     if _use_pallas(implementation) and _pick_w(n_src) is not None:
         return _segsum_pallas(xp, sorted_ids, n_src)
