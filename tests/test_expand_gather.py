@@ -126,3 +126,30 @@ def test_model_uses_sorted_gather_when_metadata_present(synthetic_npz):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6),
         g1, g2)
+
+
+def test_huge_rowspace_scatter_branch(monkeypatch):
+    """The size-dispatched scatter path (round 5: row spaces > 32 MB skip
+    the permute) — driven by shrinking the threshold to 0 so the branch
+    runs at test sizes, incl. the double backward."""
+    monkeypatch.setattr(eg, "_PERMUTE_MAX_BYTES", 0)
+    table, idx, perm, sorted_ids, cot = _case(n_src=512, n_rows=2048, M=8)
+    tb = table.astype(jnp.bfloat16)
+    cb = cot.astype(jnp.bfloat16)
+
+    def f(t):
+        return jnp.sum(
+            (eg.expand_gather(t, idx, perm, sorted_ids, 512, "xla")
+             * cb).astype(jnp.float32))
+
+    def f_ref(t):
+        return jnp.sum((t[idx] * cb).astype(jnp.float32))
+
+    g = jax.grad(f)(tb)
+    g_ref = jax.grad(f_ref)(tb)
+    np.testing.assert_allclose(np.asarray(g, np.float32),
+                               np.asarray(g_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # second order (the force path's double backward)
+    h = jax.grad(lambda t: jnp.sum(jax.grad(f)(t).astype(jnp.float32) ** 2))(tb)
+    assert np.isfinite(np.asarray(h, np.float32)).all()
